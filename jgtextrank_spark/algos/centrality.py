@@ -1,0 +1,465 @@
+"""Degree-family centralities, TeRGraph, k-core, HITS, eigenvector, Katz.
+
+Spark-first re-expressions of the reference solver dispatch
+(/root/reference/jgtextrank/core.py:798-856). Semantics notes per op:
+
+* degree_centrality  — nx parity: deg(v)/(N-1), a self-loop adds 2 to deg.
+* neighborhood_size  — reference's own op (core.py:688-708): self-loops
+  removed, count of distinct neighbours.
+* tergraph           — reference's own op (core.py:645-685):
+  0 if isolated else log2(1.5 + 1/(n_a + n_t)), n_a = #neighbours (self
+  counts once if self-loop), n_t = sum of neighbours' #neighbours.
+* coreness           — k-core decomposition by distributed peeling
+  (self-loops removed first, mirroring core.py:843-846).
+* hits               — nx _hits_python semantics (per-iteration max
+  normalization, L1 stop on hubs, final sum normalization); the reference
+  averages hubs/authorities per vertex (core.py:813-819, avg_dicts).
+* eigenvector / katz — nx pure-python power iterations (L2-normalized /
+  alpha*A^T*x+beta with L2 final normalization), L1 stop < N*tol.
+
+All iterative ops run on the superstep harness (checkpoint/resume/metrics);
+one-shot ops are single DataFrame programs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import symmetrize
+from ..supersteps import run_supersteps
+
+__all__ = [
+    "degrees",
+    "degree_centrality",
+    "neighborhood_size",
+    "tergraph",
+    "core_numbers",
+    "hits",
+    "eigenvector_centrality",
+    "katz_centrality",
+]
+
+
+def _neighbors(edges: DataFrame, keep_self_loops: bool) -> DataFrame:
+    """Distinct neighbour pairs (src, dst) of the undirected graph; a
+    self-loop contributes (v, v) once when kept."""
+    sym = symmetrize(edges.select("src", "dst", F.lit(1.0).alias("weight")))
+    nbr = sym.select("src", "dst").distinct()
+    if not keep_self_loops:
+        nbr = nbr.filter(F.col("src") != F.col("dst"))
+    return nbr
+
+
+def _vertices(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    v = edges.select(F.col("src").alias("vertex")).unionByName(
+        edges.select(F.col("dst").alias("vertex"))
+    )
+    if vertices is not None:
+        v = v.unionByName(vertices.select(F.col("id").alias("vertex")))
+    return v.distinct()
+
+
+def degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """nx-parity degree on the undirected multigraph view of the edge table:
+    (vertex, deg); self-loops count twice."""
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    ends = und.select(F.col("u").alias("vertex")).unionByName(
+        und.select(F.col("v").alias("vertex"))
+    )
+    deg = ends.groupBy("vertex").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        _vertices(edges, vertices)
+        .join(deg, "vertex", "left")
+        .select("vertex", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+
+
+def degree_centrality(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """(vertex, score) with score = deg/(N-1) (nx.degree_centrality)."""
+    deg = degrees(edges, vertices).persist()
+    n = deg.count()
+    scale = 1.0 / (n - 1) if n > 1 else 1.0
+    out = deg.select(
+        "vertex", (F.col("deg") * F.lit(scale)).alias("score")
+    )
+    return out
+
+
+def neighborhood_size(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """(vertex, score): distinct-neighbour count, self-loops ignored
+    (reference compute_neighborhood_size)."""
+    nbr = _neighbors(edges, keep_self_loops=False)
+    cnt = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        _vertices(edges, vertices)
+        .join(cnt, F.col("vertex") == F.col("src"), "left")
+        .select(
+            "vertex",
+            F.coalesce("n", F.lit(0)).cast("double").alias("score"),
+        )
+    )
+
+
+def tergraph(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """(vertex, score): the reference's TeRGraph metric."""
+    nbr = _neighbors(edges, keep_self_loops=True).persist()
+    n_a = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("n_a"))
+    # two-hop: for v, sum over neighbours u of n_a(u)
+    n_t = (
+        nbr.join(
+            n_a.select(F.col("src").alias("dst"), F.col("n_a").alias("na_dst")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.sum("na_dst").alias("n_t"))
+    )
+    joined = (
+        _vertices(edges, vertices)
+        .join(n_a, F.col("vertex") == n_a["src"], "left")
+        .drop("src")
+        .join(n_t, F.col("vertex") == n_t["src"], "left")
+        .drop("src")
+    )
+    return joined.select(
+        "vertex",
+        F.when(
+            F.coalesce("n_a", F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.log2(F.lit(1.5) + 1.0 / (F.col("n_a") + F.coalesce("n_t", F.lit(0))))
+        )
+        .alias("score"),
+    )
+
+
+def core_numbers(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """k-core decomposition by distributed peeling: (vertex, core).
+
+    Round structure: for k = 0, 1, 2, ... repeatedly delete vertices whose
+    current degree <= k, assigning them core number k, until the remaining
+    minimum degree exceeds k. Work per inner round is one degree agg + one
+    semi-join; the edge set only shrinks. Matches nx.core_number on the
+    simple graph with self-loops removed (the reference removes them
+    explicitly, core.py:843-846).
+    """
+    spark = edges.sparkSession
+    remaining = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    assigned = []  # (DataFrame of (vertex, core))
+    all_verts = _vertices(edges, vertices).persist()
+    seen = remaining  # just for lineage clarity
+
+    k = 0
+    rounds = 0
+    live_verts = all_verts
+    while True:
+        # degrees of remaining graph
+        deg = (
+            remaining.select(F.col("u").alias("vertex"))
+            .unionByName(remaining.select(F.col("v").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # vertices not present in remaining edges have degree 0
+        deg_full = live_verts.join(deg, "vertex", "left").select(
+            "vertex", F.coalesce("deg", F.lit(0)).alias("deg")
+        ).persist()
+        to_peel = deg_full.filter(F.col("deg") <= k).select("vertex").persist()
+        n_peel = to_peel.count()
+        if n_peel == 0:
+            n_live = deg_full.count()
+            deg_full.unpersist()
+            to_peel.unpersist()
+            if n_live == 0:
+                break
+            k += 1
+            continue
+        assigned.append(to_peel.withColumn("core", F.lit(k)))
+        remaining_new = remaining.join(
+            to_peel, remaining["u"] == to_peel["vertex"], "left_anti"
+        ).join(to_peel, remaining["v"] == to_peel["vertex"], "left_anti")
+        live_new = live_verts.join(to_peel, "vertex", "left_anti")
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            remaining_new = remaining_new.localCheckpoint(eager=True)
+            live_new = live_new.localCheckpoint(eager=True)
+        else:
+            remaining_new = remaining_new.persist()
+            live_new = live_new.persist()
+        remaining.unpersist()
+        remaining, live_verts = remaining_new, live_new
+        deg_full.unpersist()
+
+    if not assigned:
+        return all_verts.withColumn("core", F.lit(0))
+    out = assigned[0]
+    for df in assigned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-8,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs/authorities: (vertex, hub, authority).
+
+    nx _hits_python parity. ``edges`` directed; pass symmetrize(...) for the
+    undirected co-occurrence graph.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = _vertices(edges, vertices).persist()
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            "vertex", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    init = verts.select(
+        "vertex", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
+    )
+
+    def step(state: DataFrame, it: int):
+        hubs = state.select(F.col("vertex").alias("src"), "hub")
+        a_raw = (
+            adj.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("a"))
+        )
+        auth = verts.join(a_raw, F.col("vertex") == F.col("dst"), "left").select(
+            "vertex", F.coalesce("a", F.lit(0.0)).alias("a")
+        )
+        h_raw = (
+            adj.join(
+                auth.select(F.col("vertex").alias("dst"), "a"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
+        )
+        joined = (
+            state.select("vertex", F.col("hub").alias("prev_hub"))
+            .join(h_raw, F.col("vertex") == h_raw["src"], "left")
+            .drop("src")
+            .join(
+                auth.select(F.col("vertex").alias("av"), "a"),
+                F.col("vertex") == F.col("av"),
+            )
+            .select(
+                "vertex",
+                F.coalesce("h", F.lit(0.0)).alias("h"),
+                "a",
+                "prev_hub",
+            )
+            .persist()
+        )
+        m = joined.agg(
+            F.max("h").alias("hmax"), F.max("a").alias("amax")
+        ).collect()[0]
+        hmax = m["hmax"] or 1.0
+        amax = m["amax"] or 1.0
+        new_state = joined.select(
+            "vertex",
+            (F.col("h") / F.lit(hmax)).alias("hub"),
+            (F.col("a") / F.lit(amax)).alias("authority"),
+            "prev_hub",
+        ).persist()
+        err = new_state.agg(
+            F.sum(F.abs(F.col("hub") - F.col("prev_hub"))).alias("e")
+        ).collect()[0]["e"]
+        joined.unpersist()
+        return new_state, float(err)
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=tol,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        label="hits",
+    )
+    state = result.state.persist()
+    sums = state.agg(
+        F.sum("hub").alias("hs"), F.sum("authority").alias("as_")
+    ).collect()[0]
+    hs = sums["hs"] or 1.0
+    as_ = sums["as_"] or 1.0
+    out = state.select(
+        "vertex",
+        (F.col("hub") / F.lit(hs)).alias("hub"),
+        (F.col("authority") / F.lit(as_)).alias("authority"),
+    )
+    adj.unpersist()
+    verts.unpersist()
+    return out
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """nx.eigenvector_centrality parity: x' = x + A^T x, L2-normalized,
+    stop when L1 change < N*tol. (vertex, score). ``edges`` directed."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = _vertices(edges, vertices).persist()
+    n = verts.count()
+    init = verts.select("vertex", F.lit(1.0 / n).alias("x"))
+
+    def step(state: DataFrame, it: int):
+        msgs = (
+            adj.join(state.select(F.col("vertex").alias("src"), "x"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+        )
+        raw = (
+            state.select("vertex", F.col("x").alias("prev"))
+            .join(msgs, F.col("vertex") == F.col("dst"), "left")
+            .select(
+                "vertex",
+                (F.col("prev") + F.coalesce("m", F.lit(0.0))).alias("y"),
+                "prev",
+            )
+            .persist()
+        )
+        norm = raw.agg(
+            F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm")
+        ).collect()[0]["nrm"]
+        norm = norm if norm else 1.0
+        new_state = raw.select(
+            "vertex", (F.col("y") / F.lit(norm)).alias("x"), "prev"
+        ).persist()
+        err = new_state.agg(
+            F.sum(F.abs(F.col("x") - F.col("prev"))).alias("e")
+        ).collect()[0]["e"]
+        raw.unpersist()
+        return new_state.select("vertex", "x"), float(err)
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=n * tol,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        label="eigenvector",
+    )
+    adj.unpersist()
+    verts.unpersist()
+    return result.state.select("vertex", F.col("x").alias("score"))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 1000,
+    tol: float = 1.0e-6,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """nx.katz_centrality parity: x' = alpha * A^T x + beta, stop when
+    L1 change < N*tol, then L2-normalize * sqrt(N)... (nx normalizes by
+    s = 1/sqrt(sum x^2)). (vertex, score). ``edges`` directed."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = _vertices(edges, vertices).persist()
+    n = verts.count()
+    init = verts.select("vertex", F.lit(0.0).alias("x"))
+
+    def step(state: DataFrame, it: int):
+        msgs = (
+            adj.join(state.select(F.col("vertex").alias("src"), "x"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+        )
+        new_state = (
+            state.select("vertex", F.col("x").alias("prev"))
+            .join(msgs, F.col("vertex") == F.col("dst"), "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(alpha) * F.coalesce("m", F.lit(0.0)) + F.lit(beta)
+                ).alias("x"),
+                "prev",
+            )
+            .persist()
+        )
+        err = new_state.agg(
+            F.sum(F.abs(F.col("x") - F.col("prev"))).alias("e")
+        ).collect()[0]["e"]
+        return new_state.select("vertex", "x"), float(err)
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=n * tol,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        label="katz",
+    )
+    state = result.state.persist()
+    ssum = state.agg(F.sum(F.col("x") * F.col("x")).alias("s")).collect()[0][
+        "s"
+    ]
+    s = 1.0 / math.sqrt(ssum) if ssum else 1.0
+    out = state.select("vertex", (F.col("x") * F.lit(s)).alias("score"))
+    adj.unpersist()
+    verts.unpersist()
+    return out

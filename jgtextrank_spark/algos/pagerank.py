@@ -1,0 +1,188 @@
+"""Weighted PageRank with exact networkx power-iteration semantics.
+
+The reference ranks vertices with ``nx.pagerank(G, weight='weight',
+max_iter=100, tol=1e-6)`` (``/root/reference/jgtextrank/core.py:798-799``).
+networkx (>=3.0, scipy path) computes:
+
+    A   : weighted adjacency, row-normalized by weighted out-degree
+    x0  = p = uniform 1/N
+    x'  = alpha * (x @ A + sum(x[dangling]) * p) + (1 - alpha) * p
+    stop when  sum(|x' - x|) < N * tol
+
+This module is that exact recurrence as one DataFrame job per superstep:
+
+* ``norm_edges`` (src, dst, w/outdeg(src)) is computed once, hash-partitioned
+  by ``src`` and cached — each superstep shuffles only the rank vector to the
+  adjacency partitions (ranks are O(V), edges O(E) stay put).
+* Dangling mass and the L1 convergence delta are **fused into a single
+  aggregate** over the new state, so each superstep is exactly one action.
+* State carries ``(vertex, rank, dangling)``; the superstep harness handles
+  persistence, lineage truncation, checkpoint/resume and metrics.
+
+For undirected graphs pass ``graph.symmetrize(edges)`` — matching how
+networkx treats an undirected graph (each edge in both directions,
+self-loops once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..supersteps import SuperstepResult, run_supersteps
+
+__all__ = ["pagerank", "pagerank_result"]
+
+
+def pagerank_result(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    weight_col: str = "weight",
+    num_partitions: int | None = None,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    broadcast_threshold: int = 2_000_000,
+) -> tuple[SuperstepResult, int]:
+    """Run PageRank, returning the full superstep result (state has columns
+    ``vertex, rank, dangling, prev_rank``) plus N. ``edges`` are directed
+    ``(src, dst, weight)``; ``vertices`` (one column ``id``) may add
+    isolated vertices beyond those present in edges."""
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edge_ids = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if vertices is not None:
+        edge_ids = edge_ids.unionByName(vertices.select("id"))
+    verts = edge_ids.distinct()
+
+    out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
+    norm_edges = (
+        edges.join(out_deg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
+        )
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    norm_edges.count()  # materialize adjacency once
+
+    verts = (
+        verts.join(
+            out_deg.select(F.col("src").alias("id")).withColumn(
+                "has_out", F.lit(True)
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").alias("vertex"),
+            F.coalesce("has_out", F.lit(False)).alias("has_out"),
+        )
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        empty = verts.select(
+            F.col("vertex"),
+            F.lit(0.0).alias("rank"),
+            F.lit(False).alias("dangling"),
+        )
+        return SuperstepResult(empty, 0, True, []), 0
+
+    init = verts.select(
+        "vertex",
+        F.lit(1.0 / n).alias("rank"),
+        (~F.col("has_out")).alias("dangling"),
+    )
+
+    # Rank vectors far smaller than the adjacency are broadcast into both
+    # per-superstep joins: each superstep becomes map-only over the cached
+    # edge partitions (no shuffle at all). Above the threshold, shuffle
+    # joins against the pre-partitioned adjacency take over.
+    bcast = n <= broadcast_threshold
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
+    # dangle mass of the *current* state, threaded between supersteps so
+    # each superstep needs only one action (the fused delta+dangle agg).
+    dangle_cache: dict[int, float] = {}
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        if "cur" not in dangle_cache:
+            row = state.agg(
+                F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("d")
+            ).collect()[0]
+            dangle_cache["cur"] = row["d"] or 0.0
+        dangle_sum = dangle_cache["cur"]
+
+        contribs = (
+            norm_edges.join(
+                _b(state.select(F.col("vertex").alias("src"), "rank")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("nw") * F.col("rank")).alias("contrib"))
+        )
+        base = alpha * dangle_sum / n + (1.0 - alpha) / n
+        new_state = (
+            state.select("vertex", "dangling", F.col("rank").alias("prev_rank"))
+            .join(_b(contribs), F.col("vertex") == F.col("dst"), "left")
+            .select(
+                "vertex",
+                "dangling",
+                (
+                    F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
+                    + F.lit(base)
+                ).alias("rank"),
+                "prev_rank",
+            )
+        )
+        # persist BEFORE the agg action so the state is computed once; the
+        # harness's persist() of the returned df is then a no-op.
+        new_state = new_state.persist()
+        agg = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("dangle"),
+        ).collect()[0]
+        dangle_cache["cur"] = agg["dangle"] or 0.0
+        return new_state, float(agg["delta"])
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=n * tol,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        label="pagerank",
+    )
+    verts.unpersist()
+    norm_edges.unpersist()
+    return result, n
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    **kwargs,
+) -> DataFrame:
+    """PageRank scores: DataFrame ``(vertex, score)``."""
+    result, _ = pagerank_result(
+        edges, vertices, alpha=alpha, max_iter=max_iter, tol=tol, **kwargs
+    )
+    return result.state.select("vertex", F.col("rank").alias("score"))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+  set against the full corpus; dot products via ``zip_with``/``aggregate``
+  (JVM-side, no Python); per-query top-k with a window. The baseline /
+  verifier.
+* ``lsh_topk`` — the scale path: deterministic sign-pattern bucketing on a
+  prefix of dimensions (an LSH family for cosine on centered data);
+  queries probe only their bucket + optional neighbouring buckets within
+  hamming distance 1. Recall < 1 by construction; the exact path is the
+  oracle for measuring it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "lsh_topk"]
+
+
+def _norm_cols(df: DataFrame, id_col: str, vec_col: str, prefix: str):
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_vec"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias(f"{prefix}_nrm"),
+    )
+
+
+def _cosine(a_vec: str, b_vec: str, a_nrm: str, b_nrm: str):
+    dot = F.aggregate(
+        F.zip_with(a_vec, b_vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(a_nrm) * F.col(b_nrm))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(q_id, n_id, cosine, rank): exact top-k corpus neighbours per query.
+    Deterministic tie-break: cosine desc, neighbour id asc."""
+    c = _norm_cols(corpus, id_col, vec_col, "n")
+    q = _norm_cols(queries, id_col, vec_col, "q")
+    joined = c.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("q_id") != F.col("n_id"))
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        F.round(_cosine("q_vec", "n_vec", "q_nrm", "n_nrm"), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-pattern
+    bucket (optionally +hamming-1 probes), then exact cosine rank within
+    candidates. Bucket count = 2^bucket_dims; expected candidate set =
+    corpus / 2^bucket_dims per probe — tune bucket_dims to corpus size."""
+    def sig(df, prefix):
+        base = _norm_cols(df, id_col, vec_col, prefix)
+        key = F.concat_ws(
+            "",
+            *[
+                F.when(
+                    F.element_at(f"{prefix}_vec", i + 1) >= 0, "1"
+                ).otherwise("0")
+                for i in range(bucket_dims)
+            ],
+        )
+        return base.withColumn("bkt", key)
+
+    c = sig(corpus, "n")
+    q = sig(queries, "q")
+    if multiprobe:
+        # probe own bucket + all hamming-1 flips
+        def flip(s, i):
+            pre = F.substring(s, 1, i)
+            bit = F.substring(s, i + 1, 1)
+            post = F.substring(s, i + 2, bucket_dims - i - 1)
+            return F.concat(
+                pre,
+                F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                post,
+            )
+
+        probes = F.array(
+            F.col("bkt"), *[flip(F.col("bkt"), i) for i in range(bucket_dims)]
+        )
+        q = q.withColumn("bkt", F.explode(probes))
+    joined = c.join(F.broadcast(q), "bkt").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = joined.select(
+        "q_id",
+        "n_id",
+        F.round(_cosine("q_vec", "n_vec", "q_nrm", "n_nrm"), 6).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,143 @@
+"""Co-occurrence edge builder + generic edge-table utilities.
+
+Re-expresses the reference's windowed co-occurrence graph construction
+(``core.py:325-539``) as a shuffle-minimal DataFrame program:
+
+* Pair generation is done **inside each sentence row** with higher-order
+  array functions (``transform``/``slice``/``flatten``) — no positional
+  self-join, no shuffle, full whole-stage codegen. A sentence of length L
+  with window w emits <= L*w forward pairs.
+* Vertex-set membership filtering (the reference filters neighbours *after*
+  windowing against the syntactically-accepted token set, ``core.py:349-351``)
+  is two semi-joins against the distinct filtered-token table; Spark
+  broadcasts it when small (vocab tables almost always are relative to the
+  token stream), else AQE picks a shuffle join.
+* Dedup to the undirected edge set is a single ``distinct`` shuffle — the
+  only unavoidable one; it is also where 100x scale survives, since
+  cardinality drops from O(token stream) to O(vocab^2 cap).
+
+Semantics checked against the reference:
+- window counted on the *original* normalized context when
+  ``conn_with_original_ctx=True`` (default), else on the filtered context
+  (``core.py:424-427``);
+- neighbours failing the syntactic filter are discarded post-windowing
+  (two keywords <= w tokens of ANY kind apart are linked);
+- duplicate co-occurrences collapse to one undirected edge of weight 1.0
+  (``core.py:353, 523-539``); self-loops are kept;
+- isolated filtered tokens are still vertices (``core.py:422, 512-514``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cooccurrence_edges",
+    "cooccurrence_pairs",
+    "vertices_from_sentences",
+    "symmetrize",
+    "canonicalize",
+]
+
+
+def vertices_from_sentences(sentences: DataFrame) -> DataFrame:
+    """Vertex universe = distinct filtered tokens (``core.py:422``)."""
+    return (
+        sentences.select(
+            F.explode(F.transform("filtered", lambda x: x["token"])).alias("id")
+        )
+        .distinct()
+    )
+
+
+def cooccurrence_pairs(
+    sentences: DataFrame,
+    window: int = 2,
+    conn_with_original_ctx: bool = True,
+) -> DataFrame:
+    """All forward co-occurrence pair *events* (one row per occurrence):
+    ``(src, dst)`` with ``dst`` 1..window positions after ``src`` in the
+    chosen context. Zero-shuffle: pairs are generated per row from the token
+    array."""
+    ctx = (
+        F.col("tokens")
+        if conn_with_original_ctx
+        else F.transform("filtered", lambda x: x["token"])
+    )
+    pairs = F.flatten(
+        F.transform(
+            ctx,
+            # slice() is 1-based; element i (0-based) pairs with the next
+            # `window` elements. slice start past the end returns [].
+            lambda x, i: F.transform(
+                F.slice(ctx, i + 2, window),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return sentences.select(F.explode(pairs).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    )
+
+
+def cooccurrence_edges(
+    sentences: DataFrame,
+    window: int = 2,
+    conn_with_original_ctx: bool = True,
+    weighted: bool = False,
+    directed: bool = False,
+) -> DataFrame:
+    """The reference graph's edge table ``(src, dst, weight)``.
+
+    ``weighted=False`` (reference parity, ``core.py:523-539``): undirected
+    distinct edges, canonical ``src <= dst``, weight 1.0.
+    ``weighted=True`` (the generalized engine): weight = number of
+    co-occurrence events for the pair.
+    """
+    vertices = vertices_from_sentences(sentences).persist()
+    pairs = cooccurrence_pairs(sentences, window, conn_with_original_ctx)
+    # Keep pairs where both endpoints are accepted vertices. The "src side
+    # must be a vertex" check and the reference's post-window neighbour
+    # filter (core.py:349-351) are symmetric for forward pairs.
+    pairs = pairs.join(
+        vertices.hint("broadcast"), pairs["src"] == vertices["id"], "left_semi"
+    )
+    pairs = pairs.join(
+        vertices.hint("broadcast"), pairs["dst"] == vertices["id"], "left_semi"
+    )
+    if not directed:
+        pairs = pairs.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    if weighted:
+        edges = pairs.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("weight")
+        )
+    else:
+        edges = pairs.distinct().withColumn("weight", F.lit(1.0))
+    return edges
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected -> directed expansion for the iterative solvers: each
+    non-self-loop edge in both orientations, self-loops once (this matches
+    networkx's adjacency of an undirected graph, where a self-loop
+    contributes its weight once to the row sum)."""
+    rev = edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return edges.unionByName(rev)
+
+
+def canonicalize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Directed/mixed edge rows -> canonical undirected ``src <= dst``."""
+    out = edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    )
+    if dedup:
+        out = out.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+    return out

@@ -1,0 +1,121 @@
+"""PageRank parity vs the networkx recurrence (numpy mirror oracle)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.algos.pagerank import pagerank, pagerank_result
+from jgtextrank_spark.graph import symmetrize
+from oracle.nxparity import pagerank_edges
+
+
+def _make_edges_df(spark, edges, directed=True):
+    df = spark.createDataFrame(
+        [(str(s), str(d), float(w)) for s, d, w in edges],
+        "src string, dst string, weight double",
+    )
+    return df if directed else symmetrize(df)
+
+
+def _assert_allclose(spark_scores: dict, oracle: dict, atol=1e-6):
+    assert set(spark_scores) == set(oracle)
+    for k, v in oracle.items():
+        assert abs(spark_scores[k] - v) <= atol, (
+            k,
+            spark_scores[k],
+            v,
+        )
+
+
+def _collect(df):
+    return {r["vertex"]: r["score"] for r in df.collect()}
+
+
+def test_simple_chain(spark):
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 2.0)]
+    got = _collect(pagerank(_make_edges_df(spark, edges)))
+    want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
+    _assert_allclose(got, want)
+
+
+def test_dangling_and_isolated(spark):
+    # 4 is dangling (no out-edges), 9 is fully isolated.
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 0.5)]
+    edf = _make_edges_df(spark, edges)
+    vdf = spark.createDataFrame([("9",)], "id string")
+    got = _collect(pagerank(edf, vertices=vdf))
+    want = pagerank_edges(
+        [(str(s), str(d), w) for s, d, w in edges], nodes=["9"]
+    )
+    _assert_allclose(got, want)
+
+
+def test_undirected_with_selfloop(spark):
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (2, 2, 1.0), (3, 1, 1.0)]
+    edf = _make_edges_df(spark, edges, directed=False)
+    got = _collect(pagerank(edf))
+    want = pagerank_edges(
+        [(str(s), str(d), w) for s, d, w in edges], directed=False
+    )
+    _assert_allclose(got, want)
+
+
+def test_random_graph_weighted(spark):
+    rng = random.Random(42)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.uniform(0.5, 3.0))
+        for _ in range(400)
+    ]
+    # collapse duplicate (s,d) like nx.DiGraph (last write wins)
+    dedup = {}
+    for s, d, w in edges:
+        dedup[(s, d)] = w
+    edges = [(s, d, w) for (s, d), w in dedup.items()]
+    got = _collect(pagerank(_make_edges_df(spark, edges)))
+    want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
+    _assert_allclose(got, want)
+
+
+def test_convergence_metadata(spark):
+    edges = [(1, 2, 1.0), (2, 1, 1.0)]
+    res, n = pagerank_result(_make_edges_df(spark, edges))
+    assert n == 2
+    assert res.converged
+    assert res.iterations >= 1
+    steps = [m for m in res.metrics if m["event"] != "resume"]
+    assert all(m["wall_ms"] > 0 for m in steps)
+    assert steps[-1]["delta"] <= 2 * 1e-6
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    rng = random.Random(7)
+    n = 40
+    dedup = {}
+    for _ in range(250):
+        dedup[(rng.randrange(n), rng.randrange(n))] = rng.uniform(0.5, 2.0)
+    edges = [(s, d, w) for (s, d), w in dedup.items()]
+    edf = _make_edges_df(spark, edges)
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    # First run: stop early (budget 5 iters, checkpoint every 2).
+    res1, _ = pagerank_result(
+        edf, max_iter=5, checkpoint_every=2, checkpoint_dir=ckpt
+    )
+    assert not res1.converged
+    # Second run resumes from superstep 4's checkpoint and converges.
+    res2, n_v = pagerank_result(
+        edf, max_iter=100, checkpoint_every=2, checkpoint_dir=ckpt
+    )
+    assert res2.converged
+    assert any(m["event"] == "resume" for m in res2.metrics)
+    got = {
+        r["vertex"]: r["rank"]
+        for r in res2.state.select("vertex", "rank").collect()
+    }
+    want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-6
