@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Headline benchmark for the jgtextrank_spark engine.
+
+Prints ONE JSON line:
+  {"metric": "pagerank_edges_per_sec_per_superstep", "value": N,
+   "unit": "edges/sec", "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric follows BASELINE.md: edges processed per second of
+superstep wall time, measured on weighted PageRank run to convergence
+(L1 delta < N*tol, tol=1e-6) over a deterministic synthetic power-law
+edge table (the `documents` co-occurrence graph has a 31-token vocabulary
+— correctness-sized, not throughput-sized; FIXTURES.md §4 prescribes the
+synthetic power-law graph for throughput).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_EDGES / BENCH_VERTICES to resize the synthetic graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_powerlaw_edges(
+    spark: SparkSession, n_vertices: int, n_edges: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic skewed directed edge table (src, dst, weight).
+
+    src ~ uniform over vertices; dst = floor(V * u^3) for u uniform from a
+    hash — mass concentrates at low ids, giving power-law-ish in-degree
+    hubs (the skew case the partitioning strategy must survive)."""
+    ids = spark.range(n_edges)
+    u_src = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_vertices))
+    h = F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1_000_000_007))
+    u = h.cast("double") / 1_000_000_007.0
+    dst = F.floor(F.lit(float(n_vertices)) * F.pow(u, F.lit(3.0)))
+    w = 1.0 + F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(5)).cast(
+        "double"
+    )
+    return ids.select(
+        u_src.cast("long").alias("src"),
+        dst.cast("long").alias("dst"),
+        w.alias("weight"),
+    )
+
+
+def bench_pagerank_convergence(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+) -> dict:
+    """Converged PageRank on the synthetic graph; returns the headline
+    throughput numbers."""
+    from jgtextrank_spark.algos.pagerank import pagerank_result
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    real_edges = edges.count()
+    t0 = time.time()
+    res, n = pagerank_result(
+        edges, tol=tol, max_iter=max_iter, checkpoint_every=0
+    )
+    wall = time.time() - t0
+    steps = [m for m in res.metrics if m["event"] == "step"]
+    superstep_sec = sum(m["wall_ms"] for m in steps) / 1000.0
+    edges.unpersist()
+    return {
+        "vertices": n,
+        "edges": real_edges,
+        "supersteps": len(steps),
+        "converged": res.converged,
+        "total_sec": wall,
+        "superstep_sec": superstep_sec,
+        "mean_superstep_sec": superstep_sec / max(1, len(steps)),
+        "edges_per_sec_per_superstep": real_edges
+        / (superstep_sec / max(1, len(steps))),
+        "final_delta": steps[-1]["delta"] if steps else None,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_vertices = int(os.environ.get("BENCH_VERTICES", "100000"))
+    n_edges = int(os.environ.get("BENCH_EDGES", "2000000"))
+
+    from jgtextrank_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="jgtextrank-bench",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    queries: dict[str, float] = {}
+
+    import __spark_entry__ as entrymod
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        queries[name] = round(time.time() - t0, 3)
+
+    # headline: converged PageRank on the synthetic power-law graph
+    pr = bench_pagerank_convergence(spark, n_vertices, n_edges)
+    queries["pagerank_synth_converged"] = round(pr["total_sec"], 3)
+
+    # engine queries over the sf tables
+    timed(
+        "pagerank_docs_20it",
+        lambda: entrymod.q_pagerank(spark, sf_dir).collect(),
+    )
+    timed(
+        "textrank_keywords",
+        lambda: entrymod.q_textrank_keywords(spark, sf_dir).collect(),
+    )
+    timed(
+        "components_per_doc",
+        lambda: entrymod.q_components_per_doc(spark, sf_dir).count(),
+    )
+    timed(
+        "triangle_count",
+        lambda: entrymod.q_triangle_count(spark, sf_dir).collect(),
+    )
+    timed(
+        "dedup_minhash_lsh",
+        lambda: entrymod.q_dedup_minhash_lsh(spark, sf_dir).count(),
+    )
+    timed(
+        "dedup_ngram_jaccard",
+        lambda: entrymod.q_dedup_ngram_jaccard(spark, sf_dir).count(),
+    )
+    timed(
+        "ann_cosine_topk",
+        lambda: entrymod.q_ann_cosine_topk(spark, sf_dir).count(),
+    )
+    timed(
+        "quality_and_langid",
+        lambda: (
+            entrymod.q_quality_score(spark, sf_dir).count(),
+            entrymod.q_lang_id(spark, sf_dir).count(),
+        ),
+    )
+
+    out = {
+        "metric": "pagerank_edges_per_sec_per_superstep",
+        "value": round(pr["edges_per_sec_per_superstep"], 1),
+        "unit": "edges/sec",
+        "queries": queries,
+        "sf": sf,
+        "detail": {
+            "synthetic_graph": {
+                "vertices": pr["vertices"],
+                "edges": pr["edges"],
+            },
+            "supersteps": pr["supersteps"],
+            "converged": pr["converged"],
+            "mean_superstep_sec": round(pr["mean_superstep_sec"], 4),
+            "final_delta": pr["final_delta"],
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,52 +165,50 @@ def core_numbers(
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    assigned = []  # (DataFrame of (vertex, core))
     all_verts = _vertices(edges, vertices).persist()
-    seen = remaining  # just for lineage clarity
+    live_verts = all_verts.localCheckpoint(eager=True)
+    assigned = []  # DataFrames of (vertex, core)
 
     k = 0
-    rounds = 0
-    live_verts = all_verts
     while True:
-        # degrees of remaining graph
         deg = (
             remaining.select(F.col("u").alias("vertex"))
             .unionByName(remaining.select(F.col("v").alias("vertex")))
             .groupBy("vertex")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        # vertices not present in remaining edges have degree 0
-        deg_full = live_verts.join(deg, "vertex", "left").select(
-            "vertex", F.coalesce("deg", F.lit(0)).alias("deg")
-        ).persist()
-        to_peel = deg_full.filter(F.col("deg") <= k).select("vertex").persist()
-        n_peel = to_peel.count()
-        if n_peel == 0:
-            n_live = deg_full.count()
-            deg_full.unpersist()
-            to_peel.unpersist()
-            if n_live == 0:
-                break
+        # vertices absent from remaining edges have degree 0
+        deg_full = (
+            live_verts.join(deg, "vertex", "left")
+            .select("vertex", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .localCheckpoint(eager=True)  # truncate lineage EVERY round —
+            # the peeling loop otherwise re-analyzes a growing plan chain
+        )
+        stats = deg_full.agg(
+            F.sum(F.when(F.col("deg") <= k, 1).otherwise(0)).alias("n_peel"),
+            F.count(F.lit(1)).alias("n_live"),
+        ).collect()[0]
+        if (stats["n_live"] or 0) == 0:
+            break
+        if (stats["n_peel"] or 0) == 0:
             k += 1
             continue
-        assigned.append(to_peel.withColumn("core", F.lit(k)))
-        remaining_new = remaining.join(
-            to_peel, remaining["u"] == to_peel["vertex"], "left_anti"
-        ).join(to_peel, remaining["v"] == to_peel["vertex"], "left_anti")
-        live_new = live_verts.join(to_peel, "vertex", "left_anti")
-        rounds += 1
-        if rounds % checkpoint_every == 0:
-            remaining_new = remaining_new.localCheckpoint(eager=True)
-            live_new = live_new.localCheckpoint(eager=True)
-        else:
-            remaining_new = remaining_new.persist()
-            live_new = live_new.persist()
-        remaining.unpersist()
-        remaining, live_verts = remaining_new, live_new
-        deg_full.unpersist()
+        to_peel = deg_full.filter(F.col("deg") <= k).select("vertex")
+        assigned.append(
+            to_peel.withColumn("core", F.lit(k)).localCheckpoint(eager=True)
+        )
+        remaining = (
+            remaining.join(
+                to_peel, remaining["u"] == to_peel["vertex"], "left_anti"
+            )
+            .join(to_peel, remaining["v"] == to_peel["vertex"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        live_verts = live_verts.join(
+            to_peel, "vertex", "left_anti"
+        ).localCheckpoint(eager=True)
 
     if not assigned:
         return all_verts.withColumn("core", F.lit(0))

@@ -1,0 +1,93 @@
+"""Sources and sinks.
+
+Readers: parquet pages tables (the Common-Crawl-style input of
+BASELINE.json's input_hint: url, warc_ts, html, text, lang), Iceberg when
+the runtime has the catalog (gated — not bundled in this sandbox), text
+directories, binary archives.
+
+Writers: keyword exports mirroring the reference's CSV/JSON sinks
+(utility.py:192-204, core.py:1306-1314) plus plain DataFrame writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_pages",
+    "read_pages_iceberg",
+    "read_text_directory",
+    "export_keywords",
+]
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Load a pages table. Columns beyond the canonical five are kept;
+    missing optional ones (warc_ts/html/lang) are tolerated — only url and
+    text are required downstream."""
+    df = spark.read.format(fmt).load(path)
+    missing = {"url", "text"} - set(df.columns)
+    if missing:
+        raise ValueError(f"pages table at {path} missing columns {missing}")
+    return df
+
+
+def read_pages_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg scan (north-star input). Requires an Iceberg catalog on the
+    cluster; raises a clear error in environments without one."""
+    try:
+        return spark.read.format("iceberg").load(table)
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            "Iceberg runtime not available in this Spark session; on a "
+            "cluster add the iceberg-spark-runtime jar and catalog conf. "
+            f"Underlying error: {e}"
+        ) from e
+
+
+def read_text_directory(
+    spark: SparkSession, dirname: str, encoding: str = "utf-8"
+) -> DataFrame:
+    """One document per file (reference CorpusContent2RawSentences,
+    utility.py:63-98): (url, text)."""
+    return (
+        spark.read.option("wholetext", True)
+        .text(dirname)
+        .select(F.input_file_name().alias("url"), F.col("value").alias("text"))
+    )
+
+
+def export_keywords(
+    keywords: DataFrame,
+    path: str,
+    export_format: str = "csv",
+    encoding: str = "utf-8",
+) -> None:
+    """Reference `_export_result` mirror (core.py:1306-1314): csv with
+    header (term, weight) or json. Distributed write (one part per
+    partition); coalesce(1) for small single-file parity outputs."""
+    if export_format == "csv":
+        (
+            keywords.select(
+                F.col("term"), F.col("score").alias("weight")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("encoding", encoding)
+            .csv(path)
+        )
+    elif export_format == "json":
+        (
+            keywords.select("term", F.col("score").alias("weight"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(path)
+        )
+    else:
+        raise ValueError(
+            f"Unsupported export format: {export_format!r} (csv|json)"
+        )

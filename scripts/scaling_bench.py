@@ -1,0 +1,117 @@
+"""Two-parallelism scaling run (BASELINE.md §3 protocol).
+
+A real multi-executor cluster is unavailable in this sandbox, so the
+N -> 4N executor criterion is evidenced by running the IDENTICAL converged
+PageRank job on the IDENTICAL deterministic input at local[8] (N) and
+local[32] (4N), each in a fresh JVM (subprocess), with shuffle partitions
+scaled proportionally. Writes BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--edges E] [--vertices V]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_RUNNER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from jgtextrank_spark.session import get_spark
+from bench import bench_pagerank_convergence
+spark = get_spark(master="local[{cores}]", shuffle_partitions={parts},
+                  app_name="scaling-bench")
+spark.sparkContext.setLogLevel("ERROR")
+r = bench_pagerank_convergence(spark, {vertices}, {edges})
+print("RESULT_JSON:" + json.dumps(r))
+"""
+
+
+def run_at(cores: int, parts: int, vertices: int, edges: int) -> dict:
+    code = _RUNNER.format(
+        repo=str(REPO), cores=cores, parts=parts, vertices=vertices,
+        edges=edges,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT_JSON:"):
+            return json.loads(line[len("RESULT_JSON:"):])
+    raise RuntimeError(
+        f"no result from local[{cores}] run:\n{proc.stdout[-2000:]}\n"
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--vertices", type=int, default=100_000)
+    ap.add_argument("--n-cores", type=int, default=8)
+    ap.add_argument("--xn-cores", type=int, default=32)
+    args = ap.parse_args()
+
+    n, xn = args.n_cores, args.xn_cores
+    print(f"run A: local[{n}] ...", flush=True)
+    a = run_at(n, n, args.vertices, args.edges)
+    print(json.dumps(a), flush=True)
+    print(f"run B: local[{xn}] ...", flush=True)
+    b = run_at(xn, xn, args.vertices, args.edges)
+    print(json.dumps(b), flush=True)
+
+    tp_a = a["edges_per_sec_per_superstep"]
+    tp_b = b["edges_per_sec_per_superstep"]
+    factor = xn / n
+    eff = (tp_b / tp_a) / factor
+
+    assert a["supersteps"] == b["supersteps"], "superstep counts must match"
+
+    md = f"""# BENCH / BASELINE — scaling evidence
+
+Protocol (BASELINE.md §3): identical converged weighted-PageRank job on the
+identical deterministic power-law edge table at two local parallelism
+levels, fresh JVM each, shuffle partitions scaled with cores. Convergence:
+L1 delta < N*tol, tol=1e-6, matching the networkx recurrence exactly
+(parity tests in tests/test_pagerank.py).
+
+## Input
+
+| vertices | directed edges | seed |
+|---|---|---|
+| {a['vertices']:,} | {a['edges']:,} | 42 (xxhash64-derived, deterministic) |
+
+## Runs
+
+| run | master | shuffle partitions | supersteps | converged | superstep wall (s) | mean superstep (s) | edges/sec/superstep |
+|---|---|---|---|---|---|---|---|
+| A (N={n}) | local[{n}] | {n} | {a['supersteps']} | {a['converged']} | {a['superstep_sec']:.2f} | {a['mean_superstep_sec']:.3f} | {tp_a:,.0f} |
+| B (4N={xn}) | local[{xn}] | {xn} | {b['supersteps']} | {b['converged']} | {b['superstep_sec']:.2f} | {b['mean_superstep_sec']:.3f} | {tp_b:,.0f} |
+
+## Scaling efficiency
+
+efficiency = (throughput_4N / throughput_N) / {factor:.0f}
+           = ({tp_b:,.0f} / {tp_a:,.0f}) / {factor:.0f}
+           = **{eff:.3f}**
+
+Target (BASELINE.json): >= 0.8 — {"PASS" if eff >= 0.8 else "MISS"}.
+
+Superstep counts match across runs ({a['supersteps']} == {b['supersteps']}),
+as required: the input and numerics are identical, only parallelism varies.
+Final L1 delta: A={a['final_delta']:.3e}, B={b['final_delta']:.3e}.
+"""
+    out = REPO / "BENCH" / "BASELINE.md"
+    out.write_text(md)
+    print(f"wrote {out}\nefficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,4 +121,25 @@ def reference():
     install_solver_patches()
     import jgtextrank  # noqa: F401
 
+    # The reference fans out via multiprocessing.Pool (core.py:431-434,
+    # metrics.py:265) which cannot fork under pytest+JVM; swap in a serial
+    # pool — identical results (workers=1 is the reference default anyway).
+    class _SerialPool:
+        def __init__(self, processes=None):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def starmap(self, fn, iterable):
+            return [fn(*args) for args in iterable]
+
+    import jgtextrank.core as _core
+    import jgtextrank.metrics as _metrics
+
+    _core.Pool = _SerialPool
+    _metrics.MultiprocPool = _SerialPool
     return jgtextrank

@@ -1,0 +1,279 @@
+"""Graph algorithm parity: components, LPA, triangles, k-core, degree,
+neighborhood_size, TeRGraph, HITS, eigenvector, katz — vs networkx's
+pure-python implementations and the reference's own ops."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.algos.centrality import (
+    core_numbers,
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+    neighborhood_size,
+    tergraph,
+)
+from jgtextrank_spark.algos.components import connected_components
+from jgtextrank_spark.algos.labelprop import label_propagation
+from jgtextrank_spark.algos.triangles import (
+    clustering_coefficient,
+    triangle_counts,
+)
+from jgtextrank_spark.graph import symmetrize
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(str(s), str(d), 1.0) for s, d in edges],
+        "src string, dst string, weight double",
+    )
+
+
+def _rand_graph(seed=11, n=50, m=120, selfloops=True):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if not selfloops and u == v:
+            continue
+        edges.add((u, v))
+    return sorted(edges)
+
+
+def _nx_graph(edges, nodes=None):
+    G = nx.Graph()
+    if nodes:
+        G.add_nodes_from(str(x) for x in nodes)
+    G.add_edges_from((str(u), str(v)) for u, v in edges)
+    return G
+
+
+# ---------------------------------------------------------------- components
+def test_components_two_islands_and_isolated(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (12, 12)]
+    df = _edges_df(spark, edges)
+    vdf = spark.createDataFrame([("99",)], "id string")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, vertices=vdf).collect()
+    }
+    G = _nx_graph(edges, nodes=[99])
+    for comp in nx.connected_components(G):
+        want_label = min(comp)
+        for v in comp:
+            assert got[v] == want_label
+    assert got["99"] == "99"
+
+
+def test_components_long_chain(spark):
+    n = 30
+    edges = [(i, i + 1) for i in range(n)]
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(_edges_df(spark, edges)).collect()
+    }
+    assert set(got.values()) == {"0"}
+    assert len(got) == n + 1
+
+
+def test_components_random(spark):
+    edges = _rand_graph(seed=5, n=60, m=70)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(_edges_df(spark, edges)).collect()
+    }
+    G = _nx_graph(edges)
+    for comp in nx.connected_components(G):
+        labels = {got[v] for v in comp}
+        assert labels == {min(comp)}
+
+
+# ----------------------------------------------------------------------- lpa
+def _lpa_oracle(edges, nodes, max_iter=10):
+    """Sequential mirror of our deterministic synchronous LPA spec."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        if u != v:
+            adj[str(u)].append(str(v))
+            adj[str(v)].append(str(u))
+    labels = {str(v): str(v) for v in nodes}
+    for _ in range(max_iter):
+        new = {}
+        changed = 0
+        for v in labels:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            votes = Counter(labels[u] for u in adj[v])
+            best = sorted(
+                votes.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0][0]
+            new[v] = best
+            changed += best != labels[v]
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def test_lpa_matches_sequential_spec(spark):
+    edges = _rand_graph(seed=21, n=40, m=60, selfloops=False)
+    nodes = sorted({str(x) for e in edges for x in e})
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            _edges_df(spark, edges), max_iter=10
+        ).collect()
+    }
+    want = _lpa_oracle(edges, nodes, max_iter=10)
+    assert got == want
+
+
+def test_lpa_two_cliques(spark):
+    cl1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cl2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    edges = cl1 + cl2 + [(3, 10)]
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            _edges_df(spark, edges), max_iter=10
+        ).collect()
+    }
+    assert {got[str(i)] for i in range(4)} == {"0"}
+    assert {got[str(i)] for i in range(10, 14)} == {"10"}
+
+
+# ----------------------------------------------------------------- triangles
+@pytest.mark.parametrize("seed,n,m", [(3, 25, 60), (13, 50, 150)])
+def test_triangles_and_clustering(spark, seed, n, m):
+    edges = _rand_graph(seed=seed, n=n, m=m)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want_tri = nx.triangles(G)
+    want_clu = nx.clustering(G)
+    got_tri = {
+        r["vertex"]: r["triangles"] for r in triangle_counts(df).collect()
+    }
+    got_clu = {
+        r["vertex"]: r["clustering"]
+        for r in clustering_coefficient(df).collect()
+    }
+    for v in want_tri:
+        assert got_tri[v] == want_tri[v], v
+        assert abs(got_clu[v] - want_clu[v]) < 1e-12, v
+
+
+def test_triangle_simple(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r["vertex"]: r["triangles"]
+        for r in triangle_counts(_edges_df(spark, edges)).collect()
+    }
+    assert got == {"1": 1, "2": 1, "3": 1, "4": 0}
+
+
+# -------------------------------------------------------------------- k-core
+@pytest.mark.parametrize("seed,n,m", [(7, 22, 55), (9, 25, 38)])
+def test_core_numbers(spark, seed, n, m):
+    edges = _rand_graph(seed=seed, n=n, m=m)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.core_number(G)
+    got = {r["vertex"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == want
+
+
+# --------------------------------------------------- degree family + tergraph
+def test_degree_centrality(spark, reference):
+    edges = _rand_graph(seed=31, n=30, m=50)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    want = nx.degree_centrality(G)
+    got = {r["vertex"]: r["score"] for r in degree_centrality(df).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_neighborhood_size_and_tergraph(spark, reference):
+    from jgtextrank.core import compute_TeRGraph, compute_neighborhood_size
+
+    edges = _rand_graph(seed=41, n=30, m=50, selfloops=True)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    want_t = compute_TeRGraph(G)  # before self-loop removal
+    got_t = {r["vertex"]: r["score"] for r in tergraph(df).collect()}
+    for v in want_t:
+        assert abs(got_t[v] - want_t[v]) < 1e-12, v
+    want_n = compute_neighborhood_size(G)  # removes self-loops internally
+    got_n = {
+        r["vertex"]: r["score"] for r in neighborhood_size(df).collect()
+    }
+    for v in want_n:
+        assert got_n[v] == want_n[v], v
+
+
+# ------------------------------------------------------- spectral iteratives
+def _rand_undirected(seed, n, m):
+    """Canonical (u < v) edges — what nx.Graph stores; avoids feeding the
+    symmetrizer both orientations of the same undirected edge."""
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u == v:
+            continue
+        edges.add((min(u, v), max(u, v)))
+    return sorted(edges)
+
+
+def test_hits_parity(spark):
+    from oracle.nxparity import hits_python
+
+    edges = _rand_undirected(51, 25, 60)
+    df = symmetrize(_edges_df(spark, edges))
+    G = _nx_graph(edges)
+    want_h, want_a = hits_python(G, max_iter=100, tol=1e-4)
+    got = {
+        r["vertex"]: (r["hub"], r["authority"])
+        for r in hits(df, max_iter=100, tol=1e-4).collect()
+    }
+    for v in want_h:
+        assert abs(got[v][0] - want_h[v]) < 1e-6, v
+        assert abs(got[v][1] - want_a[v]) < 1e-6, v
+
+
+def test_eigenvector_parity(spark):
+    edges = _rand_undirected(61, 25, 60)
+    df = symmetrize(_edges_df(spark, edges))
+    G = _nx_graph(edges)
+    want = nx.eigenvector_centrality(G, max_iter=200, tol=1e-4)
+    got = {
+        r["vertex"]: r["score"]
+        for r in eigenvector_centrality(df, max_iter=200, tol=1e-4).collect()
+    }
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-5, v
+
+
+def test_katz_parity(spark):
+    edges = _rand_undirected(71, 25, 50)
+    df = symmetrize(_edges_df(spark, edges))
+    G = _nx_graph(edges)
+    want = nx.katz_centrality(G, alpha=0.1, beta=1.0, tol=1e-8)
+    got = {
+        r["vertex"]: r["score"]
+        for r in katz_centrality(df, alpha=0.1, beta=1.0, tol=1e-8).collect()
+    }
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, v

@@ -1,0 +1,219 @@
+"""Training-data-pipeline ops: dedup, similarity, text stats, multimodal
+plumbing — vs pure-python/numpy oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from jgtextrank_spark.functions.multimodal import (
+    FEATURE_DIM,
+    fake_image_features,
+    media_metadata,
+)
+from jgtextrank_spark.functions.similarity import cosine_topk, lsh_topk
+from jgtextrank_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    token_count,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _mkdocs(spark, rng_seed=3, n=30, dup_groups=3):
+    rng = random.Random(rng_seed)
+    docs = []
+    for i in range(n):
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(25))))
+    # exact duplicates
+    for g in range(dup_groups):
+        docs.append((n + 2 * g, docs[g][1]))
+        docs.append((n + 2 * g + 1, docs[g][1]))
+    # near duplicate: one word changed
+    toks = docs[0][1].split()
+    toks[5] = "OMEGA"
+    docs.append((999, " ".join(toks)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def _jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(spark):
+    docs = _mkdocs(spark)
+    got = {
+        r["fp"]: (r["canonical_doc"], r["n_docs"])
+        for r in exact_duplicates(docs).collect()
+    }
+    # 3 dup groups of 3 docs each (original + two copies)
+    assert len(got) == 3
+    assert all(n == 3 for _, n in got.values())
+    assert {c for c, _ in got.values()} == {0, 1, 2}
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = _mkdocs(spark)
+    rows = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # brute-force oracle
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _jaccard(texts[a], texts[b])
+            if round(j, 6) >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 999) in got  # the near-dup pair survives
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    docs = _mkdocs(spark)
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    # exact duplicates (jaccard 1.0) always share every band
+    assert exact <= verified
+
+
+def test_simhash_properties(spark):
+    docs = _mkdocs(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    # identical docs -> identical signatures
+    assert sigs[0] == sigs[30] == sigs[31]
+    # near-dup -> small hamming distance
+    ham = bin(sigs[0] ^ sigs[999]).count("1")
+    assert ham <= 12
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(0, 30)] == 0
+    assert (0, 999) in pairs
+
+
+def _mkemb(spark, n=40, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_cosine_topk_exact(spark):
+    emb, vecs = _mkemb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(emb, queries, k=3).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in range(5):
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-round(sims[q, i], 6), i),
+        )[:3]
+        got_q = sorted(
+            [r for r in got if r["q_id"] == q], key=lambda r: r["rank"]
+        )
+        assert [r["n_id"] for r in got_q] == order
+        for r in got_q:
+            assert abs(r["cosine"] - sims[q, r["n_id"]]) < 1e-5
+
+
+def test_lsh_topk_finds_near_duplicate(spark):
+    emb, _ = _mkemb(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = lsh_topk(emb, queries, k=3, bucket_dims=4).collect()
+    assert got, "lsh returned nothing"
+    assert got[0]["n_id"] == 1  # the planted near-dup shares the bucket
+
+
+def test_embedding_near_dup(spark):
+    emb, vecs = _mkemb(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in got
+    assert got[(0, 1)] > 0.99
+
+
+def test_textstats_basics(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is near the lazy dog of doom"),
+         (2, "zzz qqq"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc == {1: 11, 2: 2, 3: 0}
+    li = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert li[1] == "en" and li[2] == "und" and li[3] == "und"
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    import hashlib as h
+
+    assert fp[1] == h.md5(
+        b"the quick brown fox is near the lazy dog of doom"
+    ).hexdigest()
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("a", bytes([0x89]) + b"PNG----payload"),
+        ("b", b"\xff\xd8\xff jpeg-ish"),
+        ("c", b"plain bytes"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    meta = {r["doc_id"]: r for r in media_metadata(df).collect()}
+    assert meta["a"]["media_type"] == "image/png"
+    assert meta["b"]["media_type"] == "image/jpeg"
+    assert meta["c"]["media_type"] == "application/octet-stream"
+    assert meta["d"]["media_type"] == "unknown"
+    assert meta["a"]["n_bytes"] == len(rows[0][1])
+
+    feats = {r["doc_id"]: r["feature"] for r in fake_image_features(df).collect()}
+    assert all(len(v) == FEATURE_DIM for v in feats.values())
+    # deterministic: same bytes -> same features
+    want = hashlib.md5(rows[2][1]).digest()
+    assert feats["c"][0] == pytest.approx((want[0] - 127.5) / 127.5)
+
+
+def test_decode_stub_raises(spark):
+    from jgtextrank_spark.functions.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [("a", b"xx")], "doc_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="image decode requires"):
+        decode_images(df).collect()
