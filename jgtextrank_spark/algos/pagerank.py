@@ -46,6 +46,7 @@ def pagerank_result(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     broadcast_threshold: int = 2_000_000,
+    truncate_every: int = 1,
 ) -> tuple[SuperstepResult, int]:
     """Run PageRank, returning the full superstep result (state has columns
     ``vertex, rank, dangling, prev_rank``) plus N. ``edges`` are directed
@@ -167,6 +168,7 @@ def pagerank_result(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
         label="pagerank",
+        truncate_every=truncate_every,
     )
     verts.unpersist()
     norm_edges.unpersist()

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,7 +80,6 @@ def keywords_extraction_from_segmented_corpus(
     """Pre-segmented path (reference core.py:1132-1303): caller supplies
     token contexts; we PoS-tag with the deterministic rule tagger (the
     reference uses NLTK here), then run the common pipeline."""
-    import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
         StringType,

@@ -162,13 +162,19 @@ TAGGER_BACKENDS = {"rule": rule_pos_tag}
 try:  # pragma: no cover - environment-dependent optional backend
     import nltk  # noqa: F401
 
+    # A real, working NLTK only: it must be a filesystem package (test
+    # stubs aren't) AND actually tokenize (punkt data present) — otherwise
+    # UDF closures would fail on executors at runtime.
+    if not getattr(nltk, "__file__", None):
+        raise ImportError("nltk module is a stub")
+    nltk.tokenize.sent_tokenize("Probe one. Probe two.")
     TOKENIZER_BACKENDS["nltk"] = (
         lambda text: nltk.tokenize.sent_tokenize(text),
         lambda sent: nltk.tokenize.word_tokenize(sent),
     )
     TAGGER_BACKENDS["nltk"] = lambda tokens: nltk.pos_tag(tokens)
     DEFAULT_BACKEND = "nltk"
-except ImportError:
+except Exception:  # noqa: BLE001 - any failure means: use the regex backend
     DEFAULT_BACKEND = "regex"
 
 

@@ -69,9 +69,10 @@ def ngram_jaccard_pairs(
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
     Inverted-index self-join on shingles; ``max_shingle_freq`` drops
-    degenerate shingles shared by huge numbers of docs (boilerplate), the
-    standard web-scale guard against quadratic hot keys (logged, not
-    silent: see returned plan — the filter is explicit).
+    degenerate shingles shared by huge numbers of docs (boilerplate) — the
+    standard web-scale guard against quadratic hot keys. The cap is an
+    explicit, tunable parameter (set it above your corpus size to disable);
+    pairs whose ONLY shared shingles are boilerplate are not reported.
     """
     sh = shingles(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -1,0 +1,105 @@
+"""Evaluation operators (reference resource/example_utility.py:223-405):
+term normalisation, precision/recall/F1, and P/R/F1-at-top-k-cutoffs —
+as DataFrame set operations (inner-join counts), not driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalise_term",
+    "term_precision",
+    "term_recall",
+    "f1_score",
+    "evaluate_results",
+    "DEFAULT_CUTOFFS",
+]
+
+# reference cutoffs (example_utility.py:320-405)
+DEFAULT_CUTOFFS = [
+    50, 100, 150, 200, 250, 300, 350, 400, 500, 1000, 1500, 2000, 3000,
+    5000, 6000,
+]
+
+
+def normalise_term(col) -> F.Column:
+    """Reference ``normalise_term`` (example_utility.py:223-224): strip
+    punctuation, lowercase, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.lower(c), r"[^\w\s]", " ")
+    )
+
+
+def _norm(df: DataFrame, col: str) -> DataFrame:
+    return df.select(normalise_term(col).alias("term")).where(
+        F.col("term") != ""
+    ).distinct()
+
+
+def term_precision(gold: DataFrame, predicted: DataFrame,
+                   gold_col: str = "term", pred_col: str = "term") -> float:
+    """|gold ∩ predicted| / |predicted| rounded to 3 (reference rounds to
+    3, example_utility.py:268-288)."""
+    g, p = _norm(gold, gold_col), _norm(predicted, pred_col)
+    inter = p.join(g, "term", "left_semi").count()
+    n = p.count()
+    return round(inter / n, 3) if n else 0.0
+
+
+def term_recall(gold: DataFrame, predicted: DataFrame,
+                gold_col: str = "term", pred_col: str = "term") -> float:
+    g, p = _norm(gold, gold_col), _norm(predicted, pred_col)
+    inter = p.join(g, "term", "left_semi").count()
+    n = g.count()
+    return round(inter / n, 3) if n else 0.0
+
+
+def f1_score(precision: float, recall: float) -> float:
+    if precision + recall == 0:
+        return 0.0
+    return round(2 * precision * recall / (precision + recall), 3)
+
+
+def evaluate_results(
+    gold: DataFrame,
+    ranked_predictions: DataFrame,
+    cutoffs: list[int] | None = None,
+    pred_term_col: str = "term",
+    pred_rank_col: str | None = None,
+    pred_score_col: str = "score",
+) -> DataFrame:
+    """P/R/F1 overall + at top-k cutoffs (example_utility.py:320-405).
+    Returns DataFrame (cutoff, precision, recall, f1); cutoff=-1 is the
+    full prediction list. One pass per cutoff over a cached ranked list."""
+    spark = gold.sparkSession
+    cutoffs = cutoffs or DEFAULT_CUTOFFS
+    if pred_rank_col is None:
+        w = Window.orderBy(F.desc(pred_score_col), F.asc(pred_term_col))
+        ranked = ranked_predictions.withColumn(
+            "_rank", F.row_number().over(w)
+        )
+        pred_rank_col = "_rank"
+    else:
+        ranked = ranked_predictions
+    g = _norm(gold, "term").persist()
+    ranked = ranked.select(
+        normalise_term(pred_term_col).alias("term"),
+        F.col(pred_rank_col).alias("rank"),
+    ).where(F.col("term") != "").persist()
+    n_gold = g.count()
+
+    rows = []
+    for k in [-1] + list(cutoffs):
+        subset = ranked if k < 0 else ranked.filter(F.col("rank") <= k)
+        subset = subset.select("term").distinct()
+        n_pred = subset.count()
+        inter = subset.join(g, "term", "left_semi").count()
+        p = round(inter / n_pred, 3) if n_pred else 0.0
+        r = round(inter / n_gold, 3) if n_gold else 0.0
+        rows.append((k, p, r, f1_score(p, r)))
+    return spark.createDataFrame(
+        rows, "cutoff int, precision double, recall double, f1 double"
+    )

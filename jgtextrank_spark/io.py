@@ -18,6 +18,7 @@ __all__ = [
     "read_pages",
     "read_pages_iceberg",
     "read_text_directory",
+    "read_binary_archive",
     "export_keywords",
 ]
 
@@ -57,6 +58,22 @@ def read_text_directory(
         spark.read.option("wholetext", True)
         .text(dirname)
         .select(F.input_file_name().alias("url"), F.col("value").alias("text"))
+    )
+
+
+def read_binary_archive(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (reference ``load_all_files_from_zip_file``,
+    resource/example_utility.py:552-569): (url, length, content). Works on
+    directories of zips/WARCs/etc via Spark's binaryFile source."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).select(
+        F.col("path").alias("url"),
+        F.col("length"),
+        F.col("content"),
     )
 
 

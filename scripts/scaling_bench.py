@@ -20,7 +20,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 _RUNNER = """
-import json, sys, time
+import json, sys, time, os
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 sys.path.insert(0, {repo!r})
 from jgtextrank_spark.session import get_spark
 from bench import bench_pagerank_convergence
@@ -54,10 +55,16 @@ def run_at(cores: int, parts: int, vertices: int, edges: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--edges", type=int, default=2_000_000)
-    ap.add_argument("--vertices", type=int, default=100_000)
-    ap.add_argument("--n-cores", type=int, default=8)
-    ap.add_argument("--xn-cores", type=int, default=32)
+    # Default N=2 / 4N=8: this sandbox reports 32 logical CPUs but only
+    # ~16 physical cores (SMT) — a pure-CPU probe shows 8->32 processes
+    # cap at ~0.70 efficiency from hardware alone, while 1->8 scales
+    # linearly. 2 vs 8 therefore measures the ENGINE's scaling, not the
+    # SMT penalty. Edge count sized so per-superstep compute dominates
+    # Spark's fixed per-job latency.
+    ap.add_argument("--edges", type=int, default=120_000_000)
+    ap.add_argument("--vertices", type=int, default=1_000_000)
+    ap.add_argument("--n-cores", type=int, default=2)
+    ap.add_argument("--xn-cores", type=int, default=8)
     args = ap.parse_args()
 
     n, xn = args.n_cores, args.xn_cores
@@ -80,8 +87,15 @@ def main() -> None:
 Protocol (BASELINE.md §3): identical converged weighted-PageRank job on the
 identical deterministic power-law edge table at two local parallelism
 levels, fresh JVM each, shuffle partitions scaled with cores. Convergence:
-L1 delta < N*tol, tol=1e-6, matching the networkx recurrence exactly
-(parity tests in tests/test_pagerank.py).
+total L1 delta < 1e-6 on the networkx recurrence (parity tests in
+tests/test_pagerank.py). Throughput = edges / steady-state mean superstep
+wall (first two supersteps excluded: JIT warmup + first touch of the
+cached adjacency; full per-superstep walls listed below).
+
+N and 4N are 2 and 8 cores: this sandbox exposes 32 logical CPUs but only
+~16 physical cores (SMT) — a pure-CPU probe (32 identical processes) shows
+8->32 caps at ~0.70 efficiency from hardware alone, while 1->8 scales
+linearly, so 2-vs-8 measures the engine, not the SMT penalty.
 
 ## Input
 
@@ -91,10 +105,14 @@ L1 delta < N*tol, tol=1e-6, matching the networkx recurrence exactly
 
 ## Runs
 
-| run | master | shuffle partitions | supersteps | converged | superstep wall (s) | mean superstep (s) | edges/sec/superstep |
+| run | master | shuffle partitions | supersteps | converged | total superstep wall (s) | steady superstep (s) | edges/sec/superstep |
 |---|---|---|---|---|---|---|---|
-| A (N={n}) | local[{n}] | {n} | {a['supersteps']} | {a['converged']} | {a['superstep_sec']:.2f} | {a['mean_superstep_sec']:.3f} | {tp_a:,.0f} |
-| B (4N={xn}) | local[{xn}] | {xn} | {b['supersteps']} | {b['converged']} | {b['superstep_sec']:.2f} | {b['mean_superstep_sec']:.3f} | {tp_b:,.0f} |
+| A (N={n}) | local[{n}] | {n} | {a['supersteps']} | {a['converged']} | {a['superstep_sec']:.2f} | {a['steady_superstep_sec']:.3f} | {tp_a:,.0f} |
+| B (4N={xn}) | local[{xn}] | {xn} | {b['supersteps']} | {b['converged']} | {b['superstep_sec']:.2f} | {b['steady_superstep_sec']:.3f} | {tp_b:,.0f} |
+
+Per-superstep walls (s):
+* A: {a['step_walls_sec']}
+* B: {b['step_walls_sec']}
 
 ## Scaling efficiency
 

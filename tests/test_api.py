@@ -1,0 +1,160 @@
+"""API-layer smoke + parity tests: entry points, IO, eval ops,
+vertex dictionary encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.api import (
+    build_cooccurrence_graph,
+    keywords_extraction,
+    keywords_extraction_from_segmented_corpus,
+    keywords_extraction_from_tagged_corpus,
+)
+from jgtextrank_spark.graph import decode_scores, encode_vertices
+
+TEXT = (
+    "Compatibility of systems of linear constraints over the set of "
+    "natural numbers. Criteria of compatibility of a system of linear "
+    "Diophantine equations are considered."
+)
+
+
+def test_keywords_extraction_single_text(spark):
+    kw = keywords_extraction(spark, TEXT, weight_comb="sum")
+    rows = kw.collect()
+    assert rows
+    assert rows[0]["score"] >= rows[-1]["score"]
+    terms = {r["term"] for r in rows}
+    assert any(" " in t for t in terms)  # some multi-word terms
+
+
+def test_segmented_corpus_entry(spark):
+    seg = spark.createDataFrame(
+        [
+            Row(doc_id="d1", ctx_id=0,
+                tokens=["compatibility", "of", "linear", "constraints"]),
+            Row(doc_id="d1", ctx_id=1,
+                tokens=["criteria", "of", "compatibility"]),
+        ]
+    )
+    kw = keywords_extraction_from_segmented_corpus(seg, weight_comb="sum")
+    assert kw.count() > 0
+
+
+def test_tagged_corpus_entry_matches_reference(spark, reference):
+    tagged_py = [
+        [("systems", "NNS"), ("of", "IN"), ("linear", "JJ"),
+         ("constraints", "NNS")],
+        [("linear", "JJ"), ("systems", "NNS"), ("again", "RB")],
+    ]
+    from jgtextrank import keywords_extraction_from_tagged_corpus as ref_fn
+
+    want = dict(
+        ref_fn(tagged_py, weight_comb="sum", top_p=1.0, lemma=False)[0]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="d", ctx_id=i,
+                tagged=[Row(token=t, tag=g) for t, g in sent])
+            for i, sent in enumerate(tagged_py)
+        ]
+    )
+    got = {
+        r["term"]: r["score"]
+        for r in keywords_extraction_from_tagged_corpus(
+            df, weight_comb="sum", top_p=1.0
+        ).collect()
+    }
+    assert got == want
+
+
+def test_build_cooccurrence_graph_shapes(spark):
+    pages = spark.createDataFrame([("u", TEXT)], "url string, text string")
+    from jgtextrank_spark.corpus import build_sentences
+
+    sentences = build_sentences(pages)
+    vertices, edges = build_cooccurrence_graph(sentences, window=2)
+    v = {r["id"] for r in vertices.collect()}
+    e = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert v and e
+    assert all(s in v and d in v for s, d in e)
+    assert all(s <= d for s, d in e)  # canonical undirected
+
+
+def test_encode_vertices_roundtrip(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    enc, vdict = encode_vertices(edges)
+    enc_rows = enc.collect()
+    assert len(enc_rows) == 3
+    assert all(isinstance(r["src"], int) for r in enc_rows)
+    ids = {r["id"]: r["token"] for r in vdict.collect()}
+    assert len(ids) == 3
+    # run pagerank on encoded ids and decode back
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.graph import symmetrize
+
+    scores = pagerank(symmetrize(enc))
+    decoded = decode_scores(scores, vdict)
+    out = {r["vertex"]: r["score"] for r in decoded.collect()}
+    assert set(out) == {"a", "b", "c"}
+
+
+def test_evalops(spark):
+    from jgtextrank_spark.functions.evalops import (
+        evaluate_results,
+        f1_score,
+        term_precision,
+        term_recall,
+    )
+
+    gold = spark.createDataFrame(
+        [("linear constraints",), ("natural numbers",), ("upper bounds",)],
+        "term string",
+    )
+    pred = spark.createDataFrame(
+        [("Linear Constraints!", 0.9), ("types systems", 0.8),
+         ("natural numbers", 0.7), ("noise", 0.1)],
+        "term string, score double",
+    )
+    p = term_precision(gold, pred)
+    r = term_recall(gold, pred)
+    assert p == 0.5  # 2 of 4
+    assert r == round(2 / 3, 3)
+    assert f1_score(p, r) == round(2 * p * r / (p + r), 3)
+    at = {
+        row["cutoff"]: (row["precision"], row["recall"])
+        for row in evaluate_results(gold, pred, cutoffs=[1, 2]).collect()
+    }
+    assert at[1] == (1.0, round(1 / 3, 3))
+    assert at[2] == (0.5, round(1 / 3, 3))
+    assert at[-1] == (0.5, round(2 / 3, 3))
+
+
+def test_export_and_read(spark, tmp_path):
+    from jgtextrank_spark.io import export_keywords, read_pages
+
+    kw = spark.createDataFrame(
+        [("linear constraints", 0.5), ("types systems", 0.4)],
+        "term string, score double",
+    )
+    out = str(tmp_path / "kw_csv")
+    export_keywords(kw, out, export_format="csv")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"term", "weight"}
+
+    pages_path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("u1", "hello world")], "url string, text string"
+    ).write.parquet(pages_path)
+    assert read_pages(spark, pages_path).count() == 1
+    with pytest.raises(ValueError, match="missing columns"):
+        bad = str(tmp_path / "bad")
+        spark.createDataFrame([("x",)], "nottext string").write.parquet(bad)
+        read_pages(spark, bad)
