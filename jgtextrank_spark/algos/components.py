@@ -9,10 +9,12 @@ Generalizes the reference's per-component decomposition
 until no label changes. Each superstep is one join + one aggregation; the
 adjacency is symmetrized once, hash-partitioned by ``src`` and cached, so
 only the (small) label vector shuffles per superstep. Convergence in
-O(diameter) supersteps — for power-law web graphs this is ~log N; for
-10^12-vertex graphs switch the ``large_star`` flag on to use the
-two-phase large-star/small-star contraction (Kiveris et al.), which
-converges in O(log^2 N) even on long chains.
+O(diameter) supersteps — for power-law web graphs the effective diameter
+is small (~log N), which is the regime this implementation targets; a
+two-phase large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond") converging in O(log^2 N) on
+adversarial long-chain graphs is the known upgrade path and slots into
+the same superstep harness.
 
 Component ids are the minimum vertex id in the component (deterministic).
 """

@@ -48,6 +48,16 @@ __all__ = [
     "tagged_sentences_udf",
     "DEFAULT_SYNTACTIC_CATEGORIES",
     "token_passes_filters",
+    "strip_punc",
+    "remove_punctuations",
+    "remove_digits",
+    "remove_punctuations_expr",
+    "remove_digits_expr",
+    "punctuation_filter_for_list",
+    "punctuation_filter_for_word_level",
+    "get_wordnet_pos",
+    "lemmatize",
+    "stem",
 ]
 
 # Default vertex filter = noun + adjective tags (reference core.py:97-98).
@@ -233,6 +243,116 @@ def preprocess_text(
         ]
         out.append((norm_tokens, filtered))
     return out
+
+
+# ---------------------------------------------------------------------------
+# String-cleanup helpers exposed by the reference preprocessing module
+# (segmentation.py:82-92, normaliser.py:76-77, 101-119, 195-232) — each with
+# a pure-Python form and, where hot-path-relevant, a JVM column expression.
+# ---------------------------------------------------------------------------
+
+_PUNCT_CLASS = "[" + re.escape(string.punctuation) + "]"
+
+
+def strip_punc(token: str, all_: bool = False) -> str:
+    """Strip punctuation from both ends (or everywhere with ``all_``) —
+    reference ``strip_punc`` (segmentation.py:82-92): whitespace-strip
+    first, then punctuation."""
+    if token is None:
+        return None
+    if all_:
+        return re.sub(_PUNCT_CLASS, "", token.strip())
+    return token.strip().strip(string.punctuation)
+
+
+def remove_punctuations(text: str) -> str:
+    """Replace punctuation with spaces, collapse runs, trim
+    (normaliser.py:199-204)."""
+    if text is None:
+        return None
+    return _WS_COLLAPSE.sub(" ", re.sub(_PUNCT_CLASS, " ", text)).strip()
+
+
+def remove_digits(text: str) -> str:
+    """Same for digits (normaliser.py:207-212)."""
+    if text is None:
+        return None
+    return _WS_COLLAPSE.sub(" ", re.sub(r"\d", " ", text)).strip()
+
+
+def remove_punctuations_expr(col):
+    """JVM-side column form of remove_punctuations."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(c, _PUNCT_CLASS, " "), r"\s+", " "
+        )
+    )
+
+
+def remove_digits_expr(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(c, r"\d", " "), r"\s+", " ")
+    )
+
+
+def punctuation_filter_for_list(tokens: list[str]) -> list[str]:
+    """Reference ``punctuation_filter_for_list`` (normaliser.py:195-196):
+    remove_punctuations applied per token (empties preserved)."""
+    return [remove_punctuations(tok) for tok in tokens or []]
+
+
+def punctuation_filter_for_word_level(tokens: list[str]) -> list[str]:
+    """Reference ``punctuation_filter_for_word_level``
+    (normaliser.py:215-232): drop tokens that are substrings of the
+    punctuation constant, clean embedded punctuation, split multi-part
+    results."""
+    out: list[str] = []
+    for tok in tokens or []:
+        if tok in string.punctuation:  # substring semantics, as reference
+            continue
+        cleaned = remove_punctuations(tok)
+        if " " in cleaned:
+            out.extend(cleaned.split(" "))
+        else:
+            out.append(cleaned)
+    return out
+
+
+def get_wordnet_pos(penn_tag: str) -> str:
+    """Penn tag prefix -> wordnet pos letter (normaliser.py:101-119).
+    Case-sensitive, like the reference (lowercase tags map to '')."""
+    if not penn_tag:
+        return ""
+    return {"J": "a", "V": "v", "N": "n", "R": "r"}.get(penn_tag[0], "")
+
+
+def lemmatize(word: str, pos: str = "n") -> str:
+    """WordNet lemmatization — requires a real NLTK with wordnet data;
+    gated exactly like the reference's optional ``lemma=True`` path."""
+    if not pos.strip():
+        return word
+    if "nltk" not in TAGGER_BACKENDS:
+        raise NotImplementedError(
+            "lemmatize requires NLTK + wordnet data, not present in this "
+            "environment; run with lemma=False (the reference default)."
+        )
+    from nltk.stem import WordNetLemmatizer  # pragma: no cover
+
+    return WordNetLemmatizer().lemmatize(word, pos=pos)  # pragma: no cover
+
+
+def stem(word: str) -> str:
+    """Porter stem — exposed-but-unused in the reference pipeline
+    (normaliser.py:76-77); gated on a real NLTK."""
+    if "nltk" not in TAGGER_BACKENDS:
+        raise NotImplementedError(
+            "stem requires NLTK's PorterStemmer, not present here."
+        )
+    from nltk.stem.porter import PorterStemmer  # pragma: no cover
+
+    return PorterStemmer().stem(word)  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
