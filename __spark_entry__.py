@@ -47,23 +47,31 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted undirected co-occurrence edge table over whitespace tokens
-    of `documents` (window=WINDOW): (src, dst, weight)."""
+def _doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens array<string>): one row per document."""
     from jgtextrank_spark.functions.textstats import tokens_expr
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token")
+    return _docs(spark, sf_dir).select(
+        "doc_id", tokens_expr("text").alias("tokens")
     )
-    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("token").alias("ta"))
-    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("token").alias("tb"))
-    pairs = a.join(b, "doc_id").filter(
-        (F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + WINDOW)
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted undirected co-occurrence edge table over whitespace tokens
+    of `documents` (window=WINDOW): (src, dst, weight).
+
+    Pairs come from the library's zero-shuffle array slice/transform
+    generator (graph.cooccurrence_pairs) — no positional self-join; the
+    only shuffle is the final (src, dst) aggregation."""
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW
     )
     return (
         pairs.select(
-            F.least("ta", "tb").alias("src"),
-            F.greatest("ta", "tb").alias("dst"),
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
@@ -140,25 +148,25 @@ def q_pagerank(spark, sf_dir):
 
 def q_components_per_doc(spark, sf_dir):
     """Connected components of each document's token co-occurrence graph
-    (hash-min supersteps over all documents at once)."""
+    (hash-min supersteps over all documents at once).
+
+    Pair generation is the zero-shuffle array path; vertex keys are
+    dictionary-encoded to longs for the superstep loop (encode_ids=True),
+    so the iterations shuffle 8-byte ids, not `doc|token` strings."""
     _prep(spark)
     from jgtextrank_spark.algos.components import connected_components
-    from jgtextrank_spark.functions.textstats import tokens_expr
+    from jgtextrank_spark.graph import cooccurrence_pairs
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token")
-    )
-    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("token").alias("ta"))
-    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("token").alias("tb"))
-    pairs = a.join(b, "doc_id").filter(
-        (F.col("pb") > F.col("pa")) & (F.col("pb") <= F.col("pa") + WINDOW)
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW,
+        extra_cols=["doc_id"],
     )
     edges = pairs.select(
-        F.concat_ws("|", F.col("doc_id").cast("string"), "ta").alias("src"),
-        F.concat_ws("|", F.col("doc_id").cast("string"), "tb").alias("dst"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), "src").alias("src"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), "dst").alias("dst"),
         F.lit(1.0).alias("weight"),
     ).distinct()
-    cc = connected_components(edges, max_iter=100)
+    cc = connected_components(edges, max_iter=100, encode_ids=True)
     return cc.select(
         F.split_part(F.col("vertex"), F.lit("|"), F.lit(1))
         .cast("long")
@@ -171,8 +179,9 @@ def q_components_per_doc(spark, sf_dir):
 
 
 def q_label_propagation(spark, sf_dir):
-    """Deterministic LPA communities on the documents token graph
-    (rows-only check; differential-tested in tests/test_algos.py)."""
+    """Deterministic synchronous LPA communities on the documents token
+    graph; the DuckDB oracle unrolls the same 10 supersteps as
+    MATERIALIZED CTEs (also differential-tested in tests/test_algos.py)."""
     _prep(spark)
     from jgtextrank_spark.algos.labelprop import label_propagation
 
@@ -180,7 +189,9 @@ def q_label_propagation(spark, sf_dir):
 
 
 def q_coreness(spark, sf_dir):
-    """k-core decomposition (rows-only; exact-tested vs nx.core_number)."""
+    """k-core decomposition, checked against a committed golden that
+    scripts/make_goldens.py generates and verifies exactly against
+    networkx.core_number (also diff-tested in tests/test_algos.py)."""
     _prep(spark)
     from jgtextrank_spark.algos.centrality import core_numbers
 
@@ -188,8 +199,14 @@ def q_coreness(spark, sf_dir):
 
 
 def q_textrank_keywords(spark, sf_dir):
-    """Flagship raw-text pipeline (rows-only; parity-tested vs the
-    reference in tests/test_textrank.py)."""
+    """Flagship raw-text pipeline, checked against a committed
+    REFERENCE-GENERATED golden (goldens/textrank_sf0.01.parquet, built by
+    scripts/make_goldens.py: the real reference run on the identical
+    tagged stream with sentinel-isolated documents — see the script for
+    why that replays per-doc collapse exactly). top_p=1.0 pins the
+    reference's only nondeterminism (hash-ordered ties at the top-T
+    boundary, NOTES.md); boundary behaviour is diff-tested separately in
+    tests/test_textrank.py."""
     _prep(spark)
     from jgtextrank_spark.corpus import build_sentences
     from jgtextrank_spark.textrank import keywords_from_sentences
@@ -199,7 +216,7 @@ def q_textrank_keywords(spark, sf_dir):
     )
     return keywords_from_sentences(
         build_sentences(pages), window=2, weight_comb="sum",
-        per_doc_collapse=True,
+        top_p=1.0, per_doc_collapse=True,
     )
 
 
@@ -268,19 +285,29 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only; unit-tested in tests)."""
+    """SimHash near-dup pairs. All bit algebra is md5-seeded and
+    deterministic, so the DuckDB oracle replays the 48-bit signatures and
+    the pigeonhole block join bit-for-bit."""
     _prep(spark)
     from jgtextrank_spark.functions.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=10)
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=10).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+EMB_BUCKET_DIMS = 4  # sign-pattern bucket prefix for the near-dup gate
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Bucketed embedding near-dup (the scale path: sign-pattern buckets
+    on the first EMB_BUCKET_DIMS dimensions, join linear in bucket sizes).
+    The DuckDB oracle replays the same bucketing deterministically."""
     _prep(spark)
     from jgtextrank_spark.functions.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.35, bucket_dims=0
+        _emb(spark, sf_dir), threshold=0.35, bucket_dims=EMB_BUCKET_DIMS
     )
 
 
@@ -298,15 +325,23 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+LSH_BUCKET_DIMS = 6
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Bucketed approximate ANN (rows-only; recall measured in tests vs
-    the exact brute-force oracle)."""
+    """Bucketed approximate ANN. The sign-pattern buckets + hamming-1
+    multiprobe are deterministic, so the DuckDB oracle replays them
+    exactly (recall vs the exact path is additionally measured in tests)."""
     _prep(spark)
     from jgtextrank_spark.functions.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
-    return lsh_topk(emb, queries, k=ANN_K, bucket_dims=6)
+    return lsh_topk(
+        emb, queries, k=ANN_K, bucket_dims=LSH_BUCKET_DIMS
+    ).select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -323,6 +358,9 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_top_tokens(spark, sf_dir):
+    """Global top-100 tokens. The heavy ranking is orderBy+limit
+    (TakeOrderedAndProject: per-partition partial top-k, merged on the
+    driver); the row_number window only runs over the 100 surviving rows."""
     _prep(spark)
     from jgtextrank_spark.functions.textstats import tokens_expr
     from pyspark.sql import Window
@@ -331,11 +369,10 @@ def q_top_tokens(spark, sf_dir):
         F.explode(tokens_expr("text")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "cnt", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -345,24 +382,31 @@ def q_prf_eval(spark, sf_dir):
     the top-10 most frequent tokens."""
     _prep(spark)
     from jgtextrank_spark.functions.textstats import tokens_expr
-    from pyspark.sql import Window
 
     toks = _docs(spark, sf_dir).select(
         F.explode(tokens_expr("text")).alias("token")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    gold = vocab.filter(
-        F.substring(F.md5("token"), 1, 1).isin("0", "1", "2", "3")
-    ).select("token")
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    test = (
-        vocab.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("token")
+    # top-10 via orderBy+limit (TakeOrderedAndProject), broadcast back;
+    # all three counters fused into ONE aggregate action over the vocab.
+    topk = (
+        vocab.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+        .select("token", F.lit(True).alias("is_test"))
     )
-    inter = test.join(gold, "token", "left_semi").count()
-    n_test = test.count()
-    n_gold = gold.count()
+    is_gold = F.substring(F.md5("token"), 1, 1).isin("0", "1", "2", "3")
+    stats = (
+        vocab.join(F.broadcast(topk), "token", "left")
+        .agg(
+            F.sum(
+                F.when(F.col("is_test") & is_gold, 1).otherwise(0)
+            ).alias("i"),
+            F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(is_gold, 1).otherwise(0)).alias("ng"),
+        )
+        .collect()[0]
+    )
+    inter, n_test, n_gold = stats["i"] or 0, stats["nt"] or 0, stats["ng"] or 0
     p = inter / n_test if n_test else 0.0
     r = inter / n_gold if n_gold else 0.0
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
@@ -579,6 +623,151 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}
 """
 
 
+def _lpa_sql(iters: int) -> str:
+    """Deterministic synchronous weighted LPA, unrolled as MATERIALIZED
+    CTEs (mirrors algos/labelprop.py superstep-for-superstep: argmax of
+    summed neighbour-label weights, ties broken by smallest label; updates
+    are a fixpoint, so unrolling past Spark's early-stop is a no-op)."""
+    ctes = [
+        _EDGES,
+        """
+sym AS MATERIALIZED (
+  SELECT src, dst, weight FROM edges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+),
+verts AS (
+  SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+l0 AS (SELECT vertex, vertex AS label FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+l{i} AS MATERIALIZED (
+  SELECT v.vertex, coalesce(b.new_label, p.label) AS label
+  FROM verts v
+  JOIN l{i - 1} p ON p.vertex = v.vertex
+  LEFT JOIN (
+    SELECT dst, label AS new_label FROM (
+      SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM (SELECT s.dst, p2.label, sum(s.weight) AS votes
+            FROM sym s JOIN l{i - 1} p2 ON p2.vertex = s.src
+            GROUP BY s.dst, p2.label)
+    ) WHERE rn = 1
+  ) b ON b.dst = v.vertex
+)"""
+        )
+    return (
+        "WITH " + ",".join(ctes) + f"\nSELECT vertex, label FROM l{iters}"
+    )
+
+
+def _simhash_sql(max_hamming: int, bits: int = 48, block_bits: int = 12) -> str:
+    """Bit-exact replay of functions/dedup.py simhash_near_dup_pairs:
+    token hash = first 12 hex chars of md5 as a 48-bit int, frequency-
+    weighted bit sums, sign -> signature, pigeonhole block join, exact
+    hamming verify via bit_count(xor)."""
+    n_blocks = bits // block_bits
+    mask = 2**block_bits - 1
+    return f"""
+WITH {_TOK},
+wt AS (
+  SELECT doc_id, token, count(*) AS w,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT AS h
+  FROM tok GROUP BY doc_id, token
+),
+bitsum AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM wt, unnest(generate_series(0, {bits - 1})) AS t(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+blk AS (
+  SELECT doc_id, simhash, i,
+         (simhash >> (i * {block_bits})) & {mask} AS key
+  FROM sig, unnest(generate_series(0, {n_blocks - 1})) AS t(i)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blk a JOIN blk b
+    ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cands
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _ann_lsh_sql(k: int, n_queries: int, bucket_dims: int) -> str:
+    """Replay of functions/similarity.py lsh_topk: sign-pattern bucket key
+    over the first ``bucket_dims`` dims, probes = own bucket + all
+    hamming-1 flips, exact cosine rank within the probed candidates."""
+    sign_key = ", ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(bucket_dims)
+    )
+    flips = ["bkt"]
+    for i in range(1, bucket_dims + 1):
+        flips.append(
+            f"substring(bkt, 1, {i - 1}) || "
+            f"(CASE WHEN substring(bkt, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substring(bkt, {i + 1}, {bucket_dims - i})"
+        )
+    probe_list = ", ".join(flips)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, concat({sign_key}) AS bkt FROM e),
+q AS (SELECT vec_id AS q_id, bkt FROM sig WHERE vec_id < {n_queries}),
+qp AS (
+  SELECT q_id, probe FROM q, unnest([{probe_list}]) AS t(probe)
+),
+cand AS (
+  SELECT DISTINCT qp.q_id, c.vec_id AS n_id
+  FROM qp JOIN sig c ON c.bkt = qp.probe AND c.vec_id <> qp.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id,
+         round(list_cosine_similarity(qs.v, cs.v), 6) AS cosine
+  FROM cand
+  JOIN e qs ON qs.vec_id = cand.q_id
+  JOIN e cs ON cs.vec_id = cand.n_id
+),
+r AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank::BIGINT AS rank FROM r WHERE rank <= {k}"""
+
+
+def _emb_bucket_sql(threshold: float, bucket_dims: int) -> str:
+    """Replay of the bucketed embedding_near_dup_pairs: pairs restricted
+    to equal sign-pattern buckets on the first ``bucket_dims`` dims."""
+    sign_key = ", ".join(
+        f"CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(bucket_dims)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, concat({sign_key}) AS bkt FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM s a JOIN s b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}"""
+
+
 def oracle_sql() -> dict[str, str]:
     fp_norm = (
         "md5(trim(regexp_replace(regexp_replace(lower(text), "
@@ -659,6 +848,20 @@ FROM allverts av
 LEFT JOIN sdeg d ON d.vertex = av.vertex
 LEFT JOIN tc ON tc.vertex = av.vertex""",
         "pagerank": _pagerank_sql(PR_ITERS),
+        # Data-dependent loops (peeling rounds / converged power iteration
+        # + collapse) are not ANSI-SQL-expressible; their oracles are
+        # committed goldens generated AND verified by scripts/make_goldens.py
+        # (coreness: exact vs networkx.core_number; textrank: exact vs the
+        # real reference on the identical tagged stream — see the script).
+        # The correctness gate runs at sf=0.01, which these pin.
+        "coreness": (
+            "SELECT vertex, core FROM "
+            "read_parquet('/root/repo/goldens/coreness_sf0.01.parquet')"
+        ),
+        "textrank_keywords": (
+            "SELECT term, score FROM "
+            "read_parquet('/root/repo/goldens/textrank_sf0.01.parquet')"
+        ),
         "components_per_doc": f"""
 WITH RECURSIVE {_TOK},
 dpairs AS (
@@ -755,12 +958,14 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         "dedup_minhash_lsh": _minhash_sql(),
-        "embedding_near_dup": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""",
+        "dedup_simhash": _simhash_sql(max_hamming=10),
+        "ann_lsh_topk": _ann_lsh_sql(
+            k=ANN_K, n_queries=ANN_QUERIES, bucket_dims=LSH_BUCKET_DIMS
+        ),
+        "label_propagation": _lpa_sql(10),
+        "embedding_near_dup": _emb_bucket_sql(
+            threshold=0.35, bucket_dims=EMB_BUCKET_DIMS
+        ),
         "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {ANN_QUERIES}),

@@ -129,7 +129,29 @@ def connected_components_result(
     return result
 
 
-def connected_components(edges: DataFrame, **kwargs) -> DataFrame:
-    """DataFrame ``(vertex, component)``."""
-    res = connected_components_result(edges, **kwargs)
-    return res.state.select("vertex", F.col("label").alias("component"))
+def connected_components(
+    edges: DataFrame, encode_ids: bool = False, **kwargs
+) -> DataFrame:
+    """DataFrame ``(vertex, component)``.
+
+    ``encode_ids=True`` dictionary-encodes string vertex ids to longs
+    before the superstep loop (``graph.encode_vertices``) so every
+    iteration shuffles 8-byte keys instead of strings, then decodes and
+    relabels each component with its minimum *string* vertex — the output
+    is identical to the unencoded run (component = min vertex id), only
+    the loop's shuffle payload changes."""
+    if not encode_ids:
+        res = connected_components_result(edges, **kwargs)
+        return res.state.select("vertex", F.col("label").alias("component"))
+
+    from ..graph import encode_vertices
+
+    enc_edges, vdict = encode_vertices(edges)
+    res = connected_components_result(enc_edges, **kwargs)
+    decoded = res.state.join(
+        vdict.withColumnRenamed("id", "vertex"), "vertex"
+    ).select(F.col("token").alias("v_str"), "label")
+    rep = decoded.groupBy("label").agg(F.min("v_str").alias("component"))
+    return decoded.join(rep, "label").select(
+        F.col("v_str").alias("vertex"), "component"
+    )

@@ -57,11 +57,13 @@ def cooccurrence_pairs(
     sentences: DataFrame,
     window: int = 2,
     conn_with_original_ctx: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """All forward co-occurrence pair *events* (one row per occurrence):
     ``(src, dst)`` with ``dst`` 1..window positions after ``src`` in the
     chosen context. Zero-shuffle: pairs are generated per row from the token
-    array."""
+    array. ``extra_cols`` carries grouping columns (e.g. a doc id for
+    per-document graphs) through the explode."""
     ctx = (
         F.col("tokens")
         if conn_with_original_ctx
@@ -78,8 +80,9 @@ def cooccurrence_pairs(
             ),
         )
     )
-    return sentences.select(F.explode(pairs).alias("p")).select(
-        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    extra = list(extra_cols or [])
+    return sentences.select(*extra, F.explode(pairs).alias("p")).select(
+        *extra, F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
     )
 
 
@@ -133,7 +136,9 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev)
 
 
-def encode_vertices(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def encode_vertices(
+    edges: DataFrame, extra_vertices: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Dictionary-encode string vertex ids to dense longs:
     returns (edges_encoded(src, dst, weight), dict(id, token)).
 
@@ -144,13 +149,24 @@ def encode_vertices(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     10^12 vertices, so ids come from a window-free ``monotonically
     increasing id over a distinct scan`` (dense within partition,
     partition-offset bits above), which is collision-free and needs no
-    global sort."""
+    global sort. The dictionary is localCheckpoint-ed: monotonically
+    increasing ids are only deterministic for a fixed partitioning, so the
+    mapping must never be silently recomputed mid-job.
+
+    ``extra_vertices`` (one column ``id``) adds isolated vertices to the
+    dictionary so solvers that accept a vertex universe can encode it too.
+    """
+    tokens = edges.select(F.col("src").alias("token")).unionByName(
+        edges.select(F.col("dst").alias("token"))
+    )
+    if extra_vertices is not None:
+        tokens = tokens.unionByName(
+            extra_vertices.select(F.col("id").alias("token"))
+        )
     tokens = (
-        edges.select(F.col("src").alias("token"))
-        .unionByName(edges.select(F.col("dst").alias("token")))
-        .distinct()
+        tokens.distinct()
         .withColumn("id", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     enc = (
         edges.join(
