@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from ..graph import symmetrize
 from ..supersteps import SuperstepResult, run_supersteps
 
-__all__ = ["connected_components", "connected_components_result"]
+__all__ = [
+    "connected_components",
+    "connected_components_result",
+    "connected_components_star_result",
+]
 
 
 def connected_components_result(
@@ -129,29 +133,175 @@ def connected_components_result(
     return result
 
 
+def _large_star(E: DataFrame) -> DataFrame:
+    """Kiveris large-star: every strictly-larger neighbour of u links to
+    min(N(u) + {u}). Input/output: canonical (u < v) distinct edges."""
+    nbrs = E.select("u", "v").unionByName(
+        E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    out = (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # m <= u < v, so (m, v) is already canonical
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Kiveris small-star: group by the larger endpoint hi; hi and all of
+    its smaller neighbours link to their minimum."""
+    d = E.select(F.col("v").alias("hi"), F.col("u").alias("lo"))
+    mins = d.groupBy("hi").agg(F.min("lo").alias("mn"))  # mn < hi always
+    joined = d.join(mins, "hi")
+    e1 = joined.filter(F.col("lo") != F.col("mn")).select(
+        F.col("mn").alias("u"), F.col("lo").alias("v")  # mn < lo: canonical
+    )
+    e2 = mins.select(F.col("mn").alias("u"), F.col("hi").alias("v"))
+    return e1.unionByName(e2).distinct()
+
+
+def connected_components_star_result(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Connected components via the alternating large-star/small-star
+    edge-contraction algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), converging in O(log^2 n) rounds even on
+    adversarial long-chain graphs.
+
+    Unlike hash-min (which re-joins the full O(E) adjacency every
+    superstep), each round REWRITES the edge set, which contracts toward
+    one star per component — at 10^12 edges the per-round work shrinks
+    with the edge set, which is the dominant cost advantage. Per-round
+    edge counts are recorded in the metrics rows (``edges`` key).
+
+    Superstep state is the canonical edge set (u < v). Convergence: the
+    round leaves the edge set unchanged (count + order-insensitive
+    xxhash64 fingerprint, one fused aggregate action per round). Returns
+    the final star edges as state ``(u, v)`` — use ``connected_components
+    (algorithm='star')`` for the (vertex, component) view."""
+    spark = edges.sparkSession
+    init = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    fingerprint: dict[str, tuple] = {}
+    edge_counts: dict[int, int] = {}
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        new_E = _small_star(_large_star(state)).persist()
+        # order-insensitive fingerprint: count + XOR of row hashes (XOR,
+        # unlike sum, cannot overflow under ANSI mode)
+        agg = new_E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        fp = (agg["n"], agg["h"])
+        edge_counts[it] = agg["n"] or 0
+        changed = fingerprint.get("cur") != fp
+        fingerprint["cur"] = fp
+        return new_E, 1.0 if changed else 0.0
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        label="cc_star",
+    )
+    for row in result.metrics:
+        if row.get("event") in ("step", "checkpoint"):
+            row["edges"] = edge_counts.get(row["iteration"])
+    return result
+
+
+def _star_components(
+    edges: DataFrame, star: DataFrame, vertices: DataFrame | None
+) -> DataFrame:
+    """(vertex, component) from converged star edges + isolated vertices."""
+    comp = star.groupBy("v").agg(F.min("u").alias("component"))
+    assigned = comp.select(F.col("v").alias("vertex"), "component")
+    roots = star.select(F.col("u").alias("vertex")).distinct().join(
+        assigned.select("vertex"), "vertex", "left_anti"
+    ).withColumn("component", F.col("vertex"))
+    verts = edges.select(F.col("src").alias("vertex")).unionByName(
+        edges.select(F.col("dst").alias("vertex"))
+    )
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(F.col("id").alias("vertex")))
+    both = assigned.unionByName(roots)
+    isolated = (
+        verts.distinct()
+        .join(both.select("vertex"), "vertex", "left_anti")
+        .withColumn("component", F.col("vertex"))
+    )
+    return both.unionByName(isolated)
+
+
 def connected_components(
-    edges: DataFrame, encode_ids: bool = False, **kwargs
+    edges: DataFrame,
+    encode_ids: bool = False,
+    algorithm: str = "hashmin",
+    **kwargs,
 ) -> DataFrame:
     """DataFrame ``(vertex, component)``.
+
+    ``algorithm``: ``"hashmin"`` (label propagation + pointer jumping,
+    O(log diameter) rounds, adjacency static) or ``"star"`` (alternating
+    large-star/small-star edge contraction, O(log^2 n) rounds, edge set
+    shrinks per round — preferred at extreme edge counts / diameters).
+    Both produce identical output (component = min vertex id).
 
     ``encode_ids=True`` dictionary-encodes string vertex ids to longs
     before the superstep loop (``graph.encode_vertices``) so every
     iteration shuffles 8-byte keys instead of strings, then decodes and
     relabels each component with its minimum *string* vertex — the output
-    is identical to the unencoded run (component = min vertex id), only
-    the loop's shuffle payload changes."""
-    if not encode_ids:
-        res = connected_components_result(edges, **kwargs)
+    is identical to the unencoded run, only the loop's shuffle payload
+    changes."""
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(f"Unknown components algorithm: {algorithm!r}")
+    if encode_ids and kwargs.get("vertices") is not None:
+        raise ValueError(
+            "encode_ids=True requires the vertex universe to come from the "
+            "edge table; pass extra isolated vertices through "
+            "graph.encode_vertices(extra_vertices=...) manually instead."
+        )
+
+    def solve(e: DataFrame) -> DataFrame:
+        if algorithm == "star":
+            vertices = kwargs.pop("vertices", None)
+            res = connected_components_star_result(e, **kwargs)
+            return _star_components(e, res.state, vertices)
+        res = connected_components_result(e, **kwargs)
         return res.state.select("vertex", F.col("label").alias("component"))
+
+    if not encode_ids:
+        return solve(edges)
 
     from ..graph import encode_vertices
 
     enc_edges, vdict = encode_vertices(edges)
-    res = connected_components_result(enc_edges, **kwargs)
-    decoded = res.state.join(
+    cc = solve(enc_edges)
+    decoded = cc.join(
         vdict.withColumnRenamed("id", "vertex"), "vertex"
-    ).select(F.col("token").alias("v_str"), "label")
-    rep = decoded.groupBy("label").agg(F.min("v_str").alias("component"))
-    return decoded.join(rep, "label").select(
-        F.col("v_str").alias("vertex"), "component"
+    ).select(F.col("token").alias("v_str"), "component")
+    rep = decoded.groupBy("component").agg(F.min("v_str").alias("comp_str"))
+    return decoded.join(rep, "component").select(
+        F.col("v_str").alias("vertex"), F.col("comp_str").alias("component")
     )

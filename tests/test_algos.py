@@ -94,6 +94,77 @@ def test_components_random(spark):
         assert labels == {min(comp)}
 
 
+@pytest.mark.parametrize(
+    "edges,extra",
+    [
+        ([(i, i + 1) for i in range(30)], None),  # 30-hop chain
+        (_rand_graph(seed=5, n=60, m=70), None),
+        ([(1, 2), (2, 3), (10, 11), (12, 12)], [99]),  # islands+self+isolated
+    ],
+)
+def test_components_star_exact(spark, edges, extra):
+    """Large-star/small-star produces the identical (vertex, min-id
+    component) assignment as networkx on chains, random graphs, and
+    self-loop/isolated-vertex graphs."""
+    df = _edges_df(spark, edges)
+    vdf = (
+        spark.createDataFrame([(str(x),) for x in extra], "id string")
+        if extra
+        else None
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            df, algorithm="star", vertices=vdf
+        ).collect()
+    }
+    G = _nx_graph(edges, nodes=extra)
+    assert len(got) == G.number_of_nodes()
+    for comp in nx.connected_components(G):
+        assert {got[v] for v in comp} == {min(comp)}
+
+
+def test_components_star_contracts_edges(spark):
+    """The star rounds must (a) converge well under the O(diameter) bound
+    of plain hash-min on a long chain and (b) record per-round edge counts
+    in the metrics (the contraction evidence)."""
+    from jgtextrank_spark.algos.components import (
+        connected_components_star_result,
+    )
+
+    n = 64
+    edges = [(f"{i:03d}", f"{i + 1:03d}") for i in range(n)]
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src string, dst string, weight double"
+    )
+    res = connected_components_star_result(df, checkpoint_every=0)
+    assert res.converged
+    counts = [
+        m["edges"] for m in res.metrics if m.get("event") == "step"
+    ]
+    assert all(c is not None for c in counts)
+    # O(log^2 n) regime: far fewer rounds than the 64-hop diameter
+    assert res.iterations <= 16
+    # converged star: one edge per non-root vertex
+    assert counts[-1] == n
+
+
+def test_components_star_encoded(spark):
+    edges = _rand_graph(seed=7, n=40, m=50)
+    df = _edges_df(spark, edges)
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            df, algorithm="star", encode_ids=True
+        ).collect()
+    }
+    assert got == want
+
+
 # ----------------------------------------------------------------------- lpa
 def _lpa_oracle(edges, nodes, max_iter=10):
     """Sequential mirror of our deterministic synchronous LPA spec."""
