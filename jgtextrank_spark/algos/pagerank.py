@@ -47,11 +47,34 @@ def pagerank_result(
     resume: bool = True,
     broadcast_threshold: int = 2_000_000,
     truncate_every: int = 1,
+    salt_buckets: int = 0,
 ) -> tuple[SuperstepResult, int]:
     """Run PageRank, returning the full superstep result (state has columns
     ``vertex, rank, dangling, prev_rank``) plus N. ``edges`` are directed
     ``(src, dst, weight)``; ``vertices`` (one column ``id``) may add
-    isolated vertices beyond those present in edges."""
+    isolated vertices beyond those present in edges.
+
+    ``salt_buckets > 0`` enables the explicit skew path for extreme hubs
+    (SURVEY §4.2.2-4.2.3; degree >> E/partitions, e.g. 10^8-in-degree
+    vertices in web graphs):
+
+    * the cached adjacency is partitioned by ``(src, hash(dst) % S)``
+      instead of ``src`` alone, so a hot *source* vertex's edges spread
+      over S partitions; in the broadcast-rank regime the per-superstep
+      contrib join stays map-only, so no partition sees more than ~1/S of
+      a hub's edges (a straggler killer that AQE cannot fix for a cached,
+      already-partitioned input);
+    * contribution aggregation becomes an explicit two-stage
+      ``(dst, hash(src) % S) -> dst`` tree: stage one bounds any single
+      reducer partition to ~1/S of a hot *destination*'s messages, stage
+      two merges S partials per dst. This does not rely on map-side
+      partial aggregation staying effective (it degrades once the
+      per-partition distinct-dst set blows the hash-agg budget and rows
+      spill sorted).
+
+    Sums are reassociated only (same addends per dst), so scores are
+    bit-identical modulo float addition order — tests assert 1e-12
+    agreement with the unsalted path and 1e-6 vs the oracle."""
     spark = edges.sparkSession
     sc = spark.sparkContext
     if num_partitions is None:
@@ -65,16 +88,18 @@ def pagerank_result(
     verts = edge_ids.distinct()
 
     out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
-    norm_edges = (
-        edges.join(out_deg, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
-        )
-        .repartition(num_partitions, "src")
-        .persist()
+    norm_edges = edges.join(out_deg, "src").select(
+        "src",
+        "dst",
+        (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
     )
+    if salt_buckets > 0:
+        norm_edges = norm_edges.withColumn(
+            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets))
+        ).repartition(num_partitions, "src", "salt")
+    else:
+        norm_edges = norm_edges.repartition(num_partitions, "src")
+    norm_edges = norm_edges.persist()
     norm_edges.count()  # materialize adjacency once
 
     verts = (
@@ -127,13 +152,25 @@ def pagerank_result(
             dangle_cache["cur"] = row["d"] or 0.0
         dangle_sum = dangle_cache["cur"]
 
-        contribs = (
-            norm_edges.join(
-                _b(state.select(F.col("vertex").alias("src"), "rank")), "src"
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("nw") * F.col("rank")).alias("contrib"))
+        msgs = norm_edges.join(
+            _b(state.select(F.col("vertex").alias("src"), "rank")), "src"
         )
+        if salt_buckets > 0:
+            # explicit two-stage tree aggregation: partials keyed by
+            # (dst, hash(src) % S) bound any one reducer partition to
+            # ~1/S of a hot destination's messages, then S partials merge.
+            partial = msgs.withColumn(
+                "rsalt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
+            ).groupBy("dst", "rsalt").agg(
+                F.sum(F.col("nw") * F.col("rank")).alias("pcontrib")
+            )
+            contribs = partial.groupBy("dst").agg(
+                F.sum("pcontrib").alias("contrib")
+            )
+        else:
+            contribs = msgs.groupBy("dst").agg(
+                F.sum(F.col("nw") * F.col("rank")).alias("contrib")
+            )
         base = alpha * dangle_sum / n + (1.0 - alpha) / n
         new_state = (
             state.select("vertex", "dangling", F.col("rank").alias("prev_rank"))
@@ -181,9 +218,27 @@ def pagerank(
     alpha: float = 0.85,
     max_iter: int = 100,
     tol: float = 1.0e-6,
+    encode_ids: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """PageRank scores: DataFrame ``(vertex, score)``."""
+    """PageRank scores: DataFrame ``(vertex, score)``.
+
+    ``encode_ids=True`` dictionary-encodes string vertex ids to dense
+    longs before the superstep loop and decodes after — the per-superstep
+    shuffles then move 8-byte keys instead of URL/token strings. Scores
+    are unaffected (PageRank has no id-order-dependent tie-breaks)."""
+    if encode_ids:
+        from ..graph import decode_scores, encode_vertices
+
+        enc_edges, vdict = encode_vertices(edges, extra_vertices=vertices)
+        result, _ = pagerank_result(
+            enc_edges, vdict.select("id"), alpha=alpha, max_iter=max_iter,
+            tol=tol, **kwargs,
+        )
+        scores = result.state.select(
+            "vertex", F.col("rank").alias("score")
+        )
+        return decode_scores(scores, vdict)
     result, _ = pagerank_result(
         edges, vertices, alpha=alpha, max_iter=max_iter, tol=tol, **kwargs
     )

@@ -83,3 +83,49 @@ def test_pagerank_on_skewed_hub_graph(spark):
     want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-6
+
+
+def test_pagerank_salted_two_stage_matches(spark):
+    """salt_buckets only reassociates the per-dst contribution sums; the
+    salted two-stage tree must match the unsalted path ~exactly and the
+    oracle to 1e-6 on the 80%-hub graph."""
+    edges = [(i, 0, 1.0 + (i % 3)) for i in range(1, 60)] + [
+        (i, i % 7 + 1, 1.0) for i in range(1, 40)
+    ]
+    dedup = {}
+    for s, d, w in edges:
+        dedup[(s, d)] = w
+    edges = [(s, d, w) for (s, d), w in dedup.items()]
+    df = spark.createDataFrame(
+        [(str(s), str(d), w) for s, d, w in edges],
+        "src string, dst string, weight double",
+    )
+    plain = {r["vertex"]: r["score"] for r in pagerank(df).collect()}
+    salted = {
+        r["vertex"]: r["score"]
+        for r in pagerank(df, salt_buckets=4).collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert abs(salted[k] - plain[k]) <= 1e-12
+    want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
+    for k, v in want.items():
+        assert abs(salted[k] - v) <= 1e-6
+
+
+def test_pagerank_encoded_ids_matches(spark):
+    edges = [(i, (i * 7) % 23, 1.0 + (i % 2)) for i in range(40)]
+    dedup = {(s, d): w for s, d, w in edges if s != d}
+    edges = [(s, d, w) for (s, d), w in dedup.items()]
+    df = spark.createDataFrame(
+        [(str(s), str(d), w) for s, d, w in edges],
+        "src string, dst string, weight double",
+    )
+    plain = {r["vertex"]: r["score"] for r in pagerank(df).collect()}
+    enc = {
+        r["vertex"]: r["score"]
+        for r in pagerank(df, encode_ids=True).collect()
+    }
+    assert enc.keys() == plain.keys()
+    for k in plain:
+        assert abs(enc[k] - plain[k]) <= 1e-12
