@@ -80,12 +80,31 @@ def degrees(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
 
 
 def degree_centrality(
-    edges: DataFrame, vertices: DataFrame | None = None
+    edges: DataFrame, vertices: DataFrame | None = None,
+    directed: bool = False,
 ) -> DataFrame:
-    """(vertex, score) with score = deg/(N-1) (nx.degree_centrality)."""
+    """(vertex, score) with score = deg/(N-1) (nx.degree_centrality).
+
+    ``directed=True`` matches nx.degree_centrality on the reference's
+    ``to_directed()`` reciprocal-arc digraph (in+out degree): a non-self
+    edge contributes 2 per endpoint instead of 1, a self-loop still 2 —
+    i.e. deg_directed = 2*deg_undirected - 2*[has self-loop]."""
     deg = degrees(edges, vertices).persist()
     n = deg.count()
     scale = 1.0 / (n - 1) if n > 1 else 1.0
+    if directed:
+        selfs = (
+            edges.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("vertex"))
+            .distinct()
+            .withColumn("has_self", F.lit(1))
+        )
+        deg = deg.join(selfs, "vertex", "left").select(
+            "vertex",
+            (
+                2 * F.col("deg") - 2 * F.coalesce("has_self", F.lit(0))
+            ).alias("deg"),
+        )
     out = deg.select(
         "vertex", (F.col("deg") * F.lit(scale)).alias("score")
     )
@@ -247,10 +266,24 @@ def hits(
             "vertex", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
     init = verts.select(
-        "vertex", F.lit(1.0 / n).alias("hub"), F.lit(0.0).alias("authority")
+        "vertex",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(0.0).alias("authority"),
+        F.lit(1.0 / n).alias("prev_hub"),
     )
 
+    # One fused aggregate action per superstep (like pagerank's fused
+    # delta+dangle agg): max-normalization scalars for the NEW state and
+    # the L1 convergence error of the INPUT state vs its predecessor come
+    # out of a single agg over the joined raw scores. Convergence is thus
+    # detected with a one-superstep lag; on detection the step returns the
+    # INPUT state — exactly the state nx's _hits_python breaks with, so
+    # parity is unchanged (one superstep of map work is discarded).
+    scratch: dict[str, DataFrame] = {}
+
     def step(state: DataFrame, it: int):
+        if "joined" in scratch:  # previous round's scratch, now checkpointed
+            scratch.pop("joined").unpersist()
         hubs = state.select(F.col("vertex").alias("src"), "hub")
         a_raw = (
             adj.join(hubs, "src")
@@ -268,7 +301,7 @@ def hits(
             .agg(F.sum(F.col("w") * F.col("a")).alias("h"))
         )
         joined = (
-            state.select("vertex", F.col("hub").alias("prev_hub"))
+            state.select("vertex", "hub", "prev_hub")
             .join(h_raw, F.col("vertex") == h_raw["src"], "left")
             .drop("src")
             .join(
@@ -279,26 +312,30 @@ def hits(
                 "vertex",
                 F.coalesce("h", F.lit(0.0)).alias("h"),
                 "a",
+                F.col("hub").alias("cur_hub"),
                 "prev_hub",
             )
             .persist()
         )
         m = joined.agg(
-            F.max("h").alias("hmax"), F.max("a").alias("amax")
+            F.max("h").alias("hmax"),
+            F.max("a").alias("amax"),
+            F.sum(F.abs(F.col("cur_hub") - F.col("prev_hub"))).alias("err"),
         ).collect()[0]
+        err = float("inf") if it == 1 else float(m["err"] or 0.0)
+        if err <= tol:
+            joined.unpersist()
+            return state, err  # input state IS the converged one
         hmax = m["hmax"] or 1.0
         amax = m["amax"] or 1.0
+        scratch["joined"] = joined
         new_state = joined.select(
             "vertex",
             (F.col("h") / F.lit(hmax)).alias("hub"),
             (F.col("a") / F.lit(amax)).alias("authority"),
-            "prev_hub",
-        ).persist()
-        err = new_state.agg(
-            F.sum(F.abs(F.col("hub") - F.col("prev_hub"))).alias("e")
-        ).collect()[0]["e"]
-        joined.unpersist()
-        return new_state, float(err)
+            F.col("cur_hub").alias("prev_hub"),
+        )
+        return new_state, err
 
     result = run_supersteps(
         spark,
@@ -310,6 +347,8 @@ def hits(
         checkpoint_dir=checkpoint_dir,
         label="hits",
     )
+    if "joined" in scratch:
+        scratch.pop("joined").unpersist()
     state = result.state.persist()
     sums = state.agg(
         F.sum("hub").alias("hs"), F.sum("authority").alias("as_")

@@ -162,9 +162,17 @@ def build_cooccurrence_graph(
     window: int = 2,
     conn_with_original_ctx: bool = True,
     weighted: bool = False,
+    directed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(vertices, edges) mirror of reference build_cooccurrence_graph
-    (core.py:469-520) over the sentences shape."""
+    (core.py:469-520) over the sentences shape.
+
+    ``directed=True`` mirrors core.py:516-517 (``to_directed()``): the
+    undirected edge set expanded to reciprocal arcs (each non-self edge
+    in both orientations, self-loops once) — NOT text-order arcs; for
+    those use ``graph.cooccurrence_edges(directed=True)``."""
+    from .graph import symmetrize
+
     vertices = vertices_from_sentences(sentences)
     edges = cooccurrence_edges(
         sentences,
@@ -172,4 +180,6 @@ def build_cooccurrence_graph(
         conn_with_original_ctx=conn_with_original_ctx,
         weighted=weighted,
     )
+    if directed:
+        edges = symmetrize(edges)
     return vertices, edges

@@ -81,14 +81,37 @@ def solve_scores(
     solver: str = "pagerank",
     max_iter: int = 100,
     tol: float = 1.0e-6,
+    directed: bool = False,
     **solver_kwargs,
 ) -> DataFrame:
     """Dispatch to the graph solvers; returns (vertex, score). ``edges`` is
-    the canonical undirected co-occurrence edge table."""
+    the canonical undirected co-occurrence edge table.
+
+    ``directed=True`` mirrors the reference's ``to_directed()`` graph
+    (core.py:516-517): the *same* edge set with every edge as a pair of
+    reciprocal arcs. For the power-iteration solvers (pagerank family,
+    hits, eigenvector, katz) and the neighbour-set solvers
+    (neighborhood_size, TeRGraph) that digraph is provably
+    score-identical to the undirected graph (the adjacency matrix /
+    successor sets are the same), so they run unchanged;
+    degree_centrality uses networkx's in+out directed degree; the
+    remaining solvers have genuinely different directed semantics in
+    networkx and raise rather than silently returning undirected scores.
+    """
     from .algos import centrality as C
     from .algos.pagerank import pagerank
     from .algos.smallgraph import nx_fallback_scores
 
+    if directed and solver not in (
+        "pagerank", "pagerank_numpy", "pagerank_scipy", "hits",
+        "eigenvector_centrality", "katz_centrality", "degree_centrality",
+        "neighborhood_size", "TeRGraph",
+    ):
+        raise ValueError(
+            f"directed=True is not supported for solver {solver!r} (its "
+            "networkx directed semantics differ; run undirected or use "
+            "the dedicated algos module)"
+        )
     if solver in ("pagerank", "pagerank_numpy", "pagerank_scipy"):
         # numpy/scipy variants are removed in networkx >= 3; all three are
         # the same converged power iteration (SURVEY.md §4.3).
@@ -97,7 +120,7 @@ def solve_scores(
             **solver_kwargs,
         )
     if solver == "degree_centrality":
-        return C.degree_centrality(edges, vertices)
+        return C.degree_centrality(edges, vertices, directed=directed)
     if solver == "neighborhood_size":
         return C.neighborhood_size(edges, vertices)
     if solver == "TeRGraph":
@@ -441,7 +464,7 @@ def keywords_from_sentences(
     vertices = vertices_from_sentences(sentences).persist()
     scores = solve_scores(
         edges, vertices, solver=solver, max_iter=max_iter, tol=tol,
-        **solver_kwargs,
+        directed=directed, **solver_kwargs,
     ).persist()
     top = top_t_vertices(scores, top_p=top_p, top_t=top_t).persist()
     cands = collapse_candidates(sentences, scores, per_doc=per_doc_collapse)

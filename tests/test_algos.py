@@ -165,6 +165,56 @@ def test_components_star_encoded(spark):
     assert got == want
 
 
+# ------------------------------------------------------------------ directed
+def test_directed_graph_parity(spark):
+    """directed=True = the reference's to_directed() reciprocal-arc
+    digraph (core.py:516-517): degree_centrality must match
+    nx.degree_centrality on the DiGraph (in+out degree, incl. self-loop
+    handling); pagerank on the reciprocal digraph equals the undirected
+    run (identity test vs the nx oracle on the DiGraph); unsupported
+    directed solvers raise instead of silently returning undirected
+    scores."""
+    from oracle.nxparity import pagerank_nx
+
+    from jgtextrank_spark.textrank import solve_scores
+
+    # canonicalize: the edge-table convention is one row per undirected
+    # edge (nx.Graph collapses (u,v)/(v,u); symmetrize would double them)
+    edges = sorted(
+        {(min(u, v), max(u, v)) for u, v in _rand_graph(seed=9, n=25, m=50)}
+    )
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    D = G.to_directed()
+
+    want_deg = nx.degree_centrality(D)
+    got_deg = {
+        r["vertex"]: r["score"]
+        for r in degree_centrality(df, directed=True).collect()
+    }
+    assert got_deg.keys() == want_deg.keys()
+    for k, v in want_deg.items():
+        assert abs(got_deg[k] - v) <= 1e-9
+
+    verts = (
+        df.select(F.col("src").alias("id"))
+        .unionByName(df.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    got_pr = {
+        r["vertex"]: r["score"]
+        for r in solve_scores(
+            df, verts, solver="pagerank", directed=True
+        ).collect()
+    }
+    want_pr = pagerank_nx(D)
+    for k, v in want_pr.items():
+        assert abs(got_pr[k] - v) <= 1e-6
+
+    with pytest.raises(ValueError, match="directed"):
+        solve_scores(df, verts, solver="coreness", directed=True)
+
+
 # ----------------------------------------------------------------------- lpa
 def _lpa_oracle(edges, nodes, max_iter=10):
     """Sequential mirror of our deterministic synchronous LPA spec."""
