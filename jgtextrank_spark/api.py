@@ -148,8 +148,9 @@ def keywords_extraction_from_corpus_directory(
     """Directory of text files -> keywords (reference utility.py:63-98 +
     core.py:1528). One document per file; file path becomes the url."""
     pages = (
-        spark.read.option("wholetext", True)
-        .text(dirname)
+        # NB: wholetext must be the text() kwarg — as a reader .option()
+        # it is silently ignored and files split into one row per line
+        spark.read.text(dirname, wholetext=True)
         .select(
             F.input_file_name().alias("url"), F.col("value").alias("text")
         )

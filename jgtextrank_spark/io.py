@@ -55,8 +55,9 @@ def read_text_directory(
     """One document per file (reference CorpusContent2RawSentences,
     utility.py:63-98): (url, text)."""
     return (
-        spark.read.option("wholetext", True)
-        .text(dirname)
+        # wholetext must be the text() kwarg; as a reader .option() it is
+        # silently ignored and each file splits into one row per line
+        spark.read.text(dirname, wholetext=True)
         .select(F.input_file_name().alias("url"), F.col("value").alias("text"))
     )
 

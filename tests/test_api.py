@@ -158,3 +158,19 @@ def test_export_and_read(spark, tmp_path):
         bad = str(tmp_path / "bad")
         spark.createDataFrame([("x",)], "nottext string").write.parquet(bad)
         read_pages(spark, bad)
+
+
+def test_read_text_directory_whole_files(spark, tmp_path):
+    """Regression: one document per FILE even for multi-line files (the
+    wholetext flag is only honoured as the text() kwarg, not as a reader
+    option — reference CorpusContent2RawSentences reads whole files)."""
+    from jgtextrank_spark.io import read_text_directory
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first line.\nsecond line.\n")
+    (d / "b.txt").write_text("only line.\n")
+    rows = read_text_directory(spark, str(d)).collect()
+    assert len(rows) == 2
+    by_url = {r["url"].split("/")[-1]: r["text"] for r in rows}
+    assert "second line." in by_url["a.txt"]
