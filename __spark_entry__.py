@@ -178,6 +178,67 @@ def q_components_per_doc(spark, sf_dir):
     )
 
 
+def q_pagerank_salted(spark, sf_dir):
+    """Same spec as q_pagerank but through the explicit hub-skew path
+    (salt-partitioned adjacency + two-stage contrib tree) — the oracle is
+    the same unrolled CTE chain, proving the salted plan is a pure
+    reassociation."""
+    _prep(spark)
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.graph import symmetrize
+
+    scores = pagerank(
+        symmetrize(_doc_edges(spark, sf_dir)),
+        max_iter=PR_ITERS, tol=0.0, checkpoint_every=0, salt_buckets=4,
+    )
+    return scores.select("vertex", F.round("score", 6).alias("score"))
+
+
+def q_pagerank_encoded(spark, sf_dir):
+    """Same spec as q_pagerank with dictionary-encoded vertex ids in the
+    superstep loop (encode -> solve on longs -> decode)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.graph import symmetrize
+
+    scores = pagerank(
+        symmetrize(_doc_edges(spark, sf_dir)),
+        max_iter=PR_ITERS, tol=0.0, checkpoint_every=0, encode_ids=True,
+    )
+    return scores.select("vertex", F.round("score", 6).alias("score"))
+
+
+def q_components_star_per_doc(spark, sf_dir):
+    """Same spec as q_components_per_doc through the large-star/small-star
+    edge-contraction algorithm (checked against the identical recursive
+    CTE oracle)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.components import connected_components
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW,
+        extra_cols=["doc_id"],
+    )
+    edges = pairs.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "src").alias("src"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), "dst").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    ).distinct()
+    cc = connected_components(
+        edges, algorithm="star", encode_ids=True, checkpoint_every=0
+    )
+    return cc.select(
+        F.split_part(F.col("vertex"), F.lit("|"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.split_part(F.col("vertex"), F.lit("|"), F.lit(2)).alias("token"),
+        F.split_part(F.col("component"), F.lit("|"), F.lit(2)).alias(
+            "component"
+        ),
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Deterministic synchronous LPA communities on the documents token
     graph; the DuckDB oracle unrolls the same 10 supersteps as
@@ -442,7 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
         "pagerank": q_pagerank,
+        "pagerank_salted": q_pagerank_salted,
+        "pagerank_encoded": q_pagerank_encoded,
         "components_per_doc": q_components_per_doc,
+        "components_star_per_doc": q_components_star_per_doc,
         "label_propagation": q_label_propagation,
         "coreness": q_coreness,
         "textrank_keywords": q_textrank_keywords,
@@ -777,7 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "['the','of','and','to','in','a','is','that','for','it','with',"
         "'as','was','on','are','by','this','be','or','an']"
     )
-    return {
+    d = {
         "cooccur_edges": f"WITH {_EDGES} SELECT src, dst, weight FROM edges",
         "degree_centrality": f"""
 WITH {_EDGES},
@@ -1027,3 +1091,9 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY 1, 2""",
     }
+    # plan-variant queries share their spec's oracle: the salted /
+    # encoded / star paths must produce byte-identical results
+    d["pagerank_salted"] = d["pagerank"]
+    d["pagerank_encoded"] = d["pagerank"]
+    d["components_star_per_doc"] = d["components_per_doc"]
+    return d

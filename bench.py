@@ -54,6 +54,89 @@ def synth_powerlaw_edges(
     )
 
 
+def bench_cc_star_chain(spark: SparkSession, n: int = 200_000) -> dict:
+    """Large-star/small-star CC on an n-vertex chain — the adversarial
+    diameter case. Reports rounds + per-round edge counts (contraction
+    evidence: the edge set collapses toward one star)."""
+    from jgtextrank_spark.algos.components import (
+        connected_components_star_result,
+    )
+
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    t0 = time.time()
+    res = connected_components_star_result(edges, checkpoint_every=0)
+    wall = time.time() - t0
+    counts = [
+        m.get("edges") for m in res.metrics if m.get("event") == "step"
+    ]
+    return {
+        "chain_vertices": n,
+        "rounds": res.iterations,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "edge_counts_per_round": counts,
+    }
+
+
+def bench_cc_star_contraction(
+    spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000
+) -> dict:
+    """Star CC on a dense-ish power-law graph: the edge set must CONTRACT
+    per round (m -> ~n-1 star edges) — the property that makes the
+    algorithm the scale path at 10^12 edges (a chain, being a tree, keeps
+    n-1 edges throughout; this shows the m >> n collapse)."""
+    from jgtextrank_spark.algos.components import (
+        connected_components_star_result,
+    )
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    m0 = edges.select(
+        F.least("src", "dst"), F.greatest("src", "dst")
+    ).distinct().count()
+    t0 = time.time()
+    res = connected_components_star_result(edges, checkpoint_every=0)
+    wall = time.time() - t0
+    edges.unpersist()
+    counts = [
+        m.get("edges") for m in res.metrics if m.get("event") == "step"
+    ]
+    return {
+        "vertices": n_vertices,
+        "initial_undirected_edges": m0,
+        "rounds": res.iterations,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "edge_counts_per_round": counts,
+    }
+
+
+def bench_salted_pagerank(
+    spark: SparkSession, edges: DataFrame, iters: int = 5
+) -> dict:
+    """Fixed-iteration PageRank on the (hub-skewed) synthetic graph with
+    and without explicit dst-salting: same scores (asserted to 1e-12 in
+    tests), compare mean superstep wall."""
+    from jgtextrank_spark.algos.pagerank import pagerank_result
+
+    out = {}
+    # salted runs FIRST so any residual JIT/cache warmup favours plain —
+    # conservative for the salted claim
+    for label, salt in (("salted8", 8), ("plain", 0)):
+        res, _ = pagerank_result(
+            edges, tol=0.0, max_iter=iters, checkpoint_every=0,
+            truncate_every=3, salt_buckets=salt,
+        )
+        steps = [m for m in res.metrics if m["event"] == "step"]
+        out[label] = round(
+            sum(m["wall_ms"] for m in steps) / len(steps) / 1000.0, 3
+        )
+    return out
+
+
 def bench_pagerank_convergence(
     spark: SparkSession,
     n_vertices: int,
@@ -133,6 +216,18 @@ def main() -> None:
     pr = bench_pagerank_convergence(spark, n_vertices, n_edges)
     queries["pagerank_synth_converged"] = round(pr["total_sec"], 3)
 
+    # skew path: explicit dst-salting vs plain on the same skewed graph
+    salt_edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    salt_edges.count()
+    salted = bench_salted_pagerank(spark, salt_edges)
+    salt_edges.unpersist()
+
+    # adversarial-diameter CC (round count) + edge-contraction evidence
+    cc_star = bench_cc_star_chain(spark)
+    queries["cc_star_chain_200k"] = cc_star["wall_sec"]
+    cc_contract = bench_cc_star_contraction(spark)
+    queries["cc_star_powerlaw_2m"] = cc_contract["wall_sec"]
+
     # engine queries over the sf tables
     timed(
         "pagerank_docs_20it",
@@ -186,6 +281,9 @@ def main() -> None:
             "mean_superstep_sec": round(pr["mean_superstep_sec"], 4),
             "final_delta": pr["final_delta"],
             "cpus": cpus,
+            "salted_pagerank_mean_superstep_sec": salted,
+            "cc_star_chain": cc_star,
+            "cc_star_contraction": cc_contract,
         },
     }
     print(json.dumps(out))

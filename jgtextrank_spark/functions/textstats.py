@@ -18,6 +18,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "fingerprint_expr",
     "EN_MARKERS",
 ]
 
@@ -105,14 +106,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, fp): md5 of the whitespace/punct-normalized lowercase text —
-    the exact-dedup key. Stable across engines (md5 is ubiquitous)."""
+def fingerprint_expr(col) -> Column:
+    """md5 of the whitespace/punct-normalized lowercase text — the
+    exact-dedup key as a column expression (shared by the batch operator
+    and the streaming dropDuplicates path)."""
+    c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
-            r" +",
-            " ",
+            F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "), r" +", " "
         )
     )
-    return df.select("doc_id", F.md5(norm).alias("fp"))
+    return F.md5(norm)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp). Stable across engines (md5 is ubiquitous)."""
+    return df.select("doc_id", fingerprint_expr(text_col).alias("fp"))

@@ -372,34 +372,46 @@ def _gcvalue(
         "tok_set", F.array_distinct(F.array_sort("term_tokens"))
     ).persist()
 
-    # inverted-index containment join: a ⊆ b iff |shared distinct tokens|
-    # == |distinct tokens of a|
-    a_ex = forms.select(
-        F.col("term").alias("a_term"),
-        F.col("tok_set").alias("a_set"),
-        F.explode("tok_set").alias("token"),
+    # Containment join (a ⊆ b) via rarest-token prefix filtering: every
+    # superset of a must contain a's globally rarest token, so indexing a
+    # ONLY under that token generates a complete candidate set whose size
+    # is Σ_a df(rarest(a)) — immune to stopword-like hot tokens, which
+    # would make a full inverted-index join quadratic (a token present in
+    # every candidate → C² intermediate rows). Exact verification is a
+    # per-row array_except check, no second join.
+    tok_df = (
+        forms.select(F.explode("tok_set").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    a_min = (
+        forms.select(
+            F.col("term").alias("a_term"),
+            F.col("tok_set").alias("a_set"),
+            F.col("term_tokens").alias("a_tokens"),
+            F.explode("tok_set").alias("token"),
+        )
+        .join(tok_df, "token")
+        .groupBy("a_term")
+        .agg(
+            F.first("a_set").alias("a_set"),
+            F.first("a_tokens").alias("a_tokens"),
+            F.min_by("token", F.struct("df_", "token")).alias("token"),
+        )
     )
     b_ex = forms.select(
         F.col("term").alias("b_term"),
         F.col("term_tokens").alias("b_tokens"),
+        F.col("tok_set").alias("b_set"),
         F.col("g").alias("b_g"),
         F.col("occ").alias("b_occ"),
-        F.explode(F.array_distinct("term_tokens")).alias("token"),
+        F.explode("tok_set").alias("token"),
     )
-    shared = (
-        a_ex.join(b_ex, "token")
-        .groupBy("a_term", "a_set", "b_term", "b_g", "b_occ", "b_tokens")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    containing = shared.filter(
-        (F.col("n_shared") == F.size("a_set"))
-    )
-    # list inequality (ref uses term != longer_term on token LISTS)
-    a_forms = forms.select(
-        F.col("term").alias("a_term"), F.col("term_tokens").alias("a_tokens")
-    )
-    containing = containing.join(a_forms, "a_term").filter(
-        F.col("a_tokens") != F.col("b_tokens")
+    containing = (
+        a_min.join(b_ex, "token")
+        .filter(F.size(F.array_except("a_set", "b_set")) == 0)
+        # list inequality (ref uses term != longer_term on token LISTS)
+        .filter(F.col("a_tokens") != F.col("b_tokens"))
     )
     longer_agg = containing.groupBy("a_term").agg(
         F.sum("b_occ").alias("p_ta"),

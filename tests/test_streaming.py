@@ -1,0 +1,126 @@
+"""Structured Streaming surface: availableNow-triggered streaming results
+must equal the batch operators on the same files (same expressions by
+construction; these tests pin it)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.streaming import (
+    stream_pages,
+    streaming_cooccurrence_edges,
+    streaming_dedup_pages,
+    streaming_token_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _pages_rows():
+    return [
+        ("u1", T0, b"<html>", "linear constraints over numbers", "en"),
+        ("u2", T0 + dt.timedelta(minutes=10), b"<html>",
+         "minimal set of solutions", "en"),
+        # exact duplicate content of u1, later
+        ("u3", T0 + dt.timedelta(minutes=20), b"<html>",
+         "Linear constraints over numbers!", "en"),
+        ("u4", T0 + dt.timedelta(hours=2), b"<html>",
+         "minimal generating sets", "en"),
+    ]
+
+
+def _write_pages(spark, tmp_path):
+    path = str(tmp_path / "pages_stream")
+    spark.createDataFrame(
+        _pages_rows(),
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(path)
+    return path
+
+
+def _run(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_streaming_edges_match_batch(spark, tmp_path):
+    path = _write_pages(spark, tmp_path)
+    pages = stream_pages(spark, path)
+    got = _run(
+        spark,
+        streaming_cooccurrence_edges(pages, window=2),
+        "stream_edges",
+        "complete",
+    )
+    batch = spark.read.parquet(path)
+    from jgtextrank_spark.streaming import streaming_cooccurrence_edges as _e
+
+    want = _e(batch, window=2)  # same code path works on a batch df
+    g = {
+        (r["time_window"], r["src"], r["dst"], r["weight"])
+        for r in got.collect()
+    }
+    w = {
+        (r["time_window"], r["src"], r["dst"], r["weight"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    path = _write_pages(spark, tmp_path)
+    pages = stream_pages(spark, path)
+    got = _run(
+        spark, streaming_dedup_pages(pages), "stream_dedup", "append"
+    )
+    # u3 normalizes to u1's fingerprint ('!' stripped, lowercased)
+    urls = {r["url"] for r in got.collect()}
+    assert "u1" in urls or "u3" in urls
+    assert not {"u1", "u3"} <= urls  # only one survivor of the dup pair
+    assert {"u2", "u4"} <= urls
+
+
+def test_streaming_token_stats(spark, tmp_path):
+    path = _write_pages(spark, tmp_path)
+    pages = stream_pages(spark, path)
+    got = _run(
+        spark,
+        streaming_token_stats(pages, time_window="1 hour"),
+        "stream_stats",
+        "complete",
+    )
+    rows = {
+        r["time_window"]["start"]: (r["n_pages"], r["n_tokens"])
+        for r in got.collect()
+    }
+    assert rows[T0] == (3, 4 + 4 + 4)
+    assert rows[T0 + dt.timedelta(hours=2)] == (1, 3)
+
+
+def test_streaming_edges_running_total(spark, tmp_path):
+    """No event-time column: global running (src, dst, weight) aggregate."""
+    path = _write_pages(spark, tmp_path)
+    pages = stream_pages(spark, path)
+    got = _run(
+        spark,
+        streaming_cooccurrence_edges(pages, window=2, ts_col=None),
+        "stream_edges_global",
+        "complete",
+    )
+    g = {(r["src"], r["dst"], r["weight"]) for r in got.collect()}
+    batch = spark.read.parquet(path)
+    want = streaming_cooccurrence_edges(batch, window=2, ts_col=None)
+    w = {(r["src"], r["dst"], r["weight"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert ("constraints", "linear", 1.0) in g  # raw tokens, not lowercased
+    assert F is not None
