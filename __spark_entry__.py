@@ -3,15 +3,17 @@
 ``entry(spark)``   — flagship: TextRank keyword extraction over the
                      sf0.001 documents table (raw-text path end-to-end).
 ``queries()``      — one entry per implemented operator family
-                     (SURVEY.md §2 + training-data-pipeline ops).
-``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents. Iterative ops
-                     (fixed-iteration PageRank, per-doc connected
-                     components) are expressed as programmatically unrolled
-                     CTE chains / recursive CTEs; genuinely
-                     non-SQL-expressible ops (full TextRank, LPA, k-core,
-                     SimHash) are rows-only checked here and
-                     differential-tested against the reference + networkx
-                     in tests/.
+                     (SURVEY.md §2 + training-data-pipeline ops), plus
+                     plan-variant rows (salted/encoded PageRank, star CC)
+                     that must hash-match their spec's oracle.
+``oracle_sql()``   — an oracle for EVERY query: DuckDB ANSI SQL where
+                     expressible (iterative ops as programmatically
+                     unrolled MATERIALIZED CTE chains / recursive CTEs;
+                     SimHash as a bit-exact md5 replay; ANN-LSH as
+                     deterministic sign-bucket probes), and committed
+                     goldens for the two data-dependent loops (coreness:
+                     verified vs networkx; textrank: verified vs the real
+                     reference) — see scripts/make_goldens.py.
 """
 
 from __future__ import annotations
@@ -247,6 +249,19 @@ def q_label_propagation(spark, sf_dir):
     from jgtextrank_spark.algos.labelprop import label_propagation
 
     return label_propagation(_doc_edges(spark, sf_dir), max_iter=10)
+
+
+def q_label_propagation_encoded(spark, sf_dir):
+    """Same spec as q_label_propagation through order-preserving
+    dictionary encoding (LPA tie-breaks depend on label ORDER, so the
+    encoding must be monotone in the string order — checked against the
+    identical unrolled-CTE oracle)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.labelprop import label_propagation
+
+    return label_propagation(
+        _doc_edges(spark, sf_dir), max_iter=10, encode_ids=True
+    )
 
 
 def q_coreness(spark, sf_dir):
@@ -508,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_per_doc": q_components_per_doc,
         "components_star_per_doc": q_components_star_per_doc,
         "label_propagation": q_label_propagation,
+        "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
         "textrank_keywords": q_textrank_keywords,
         "token_count": q_token_count,
@@ -1096,4 +1112,5 @@ FROM events GROUP BY 1, 2""",
     d["pagerank_salted"] = d["pagerank"]
     d["pagerank_encoded"] = d["pagerank"]
     d["components_star_per_doc"] = d["components_per_doc"]
+    d["label_propagation_encoded"] = d["label_propagation"]
     return d

@@ -105,7 +105,41 @@ def label_propagation_result(
     return result
 
 
-def label_propagation(edges: DataFrame, **kwargs) -> DataFrame:
-    """DataFrame ``(vertex, label)``."""
-    res = label_propagation_result(edges, **kwargs)
-    return res.state.select("vertex", "label")
+def label_propagation(
+    edges: DataFrame, encode_ids: bool = False, **kwargs
+) -> DataFrame:
+    """DataFrame ``(vertex, label)``.
+
+    ``encode_ids=True`` runs the loop on dictionary-encoded longs. LPA's
+    dynamics DEPEND on label order (ties break to the smallest label), so
+    the encoding must be order-preserving — ``encode_vertices(
+    order_preserving=True)`` assigns ids monotone in the string order,
+    making every superstep's tie-break (and hence the final communities)
+    identical to the string run while the loop shuffles 8-byte keys."""
+    if not encode_ids:
+        res = label_propagation_result(edges, **kwargs)
+        return res.state.select("vertex", "label")
+
+    from ..graph import encode_vertices
+
+    if kwargs.get("vertices") is not None:
+        raise ValueError(
+            "encode_ids=True requires the vertex universe to come from "
+            "the edge table."
+        )
+    enc_edges, vdict = encode_vertices(edges, order_preserving=True)
+    res = label_propagation_result(enc_edges, **kwargs)
+    v_dict = vdict.withColumnRenamed("id", "vertex").withColumnRenamed(
+        "token", "vertex_str"
+    )
+    l_dict = vdict.withColumnRenamed("id", "label").withColumnRenamed(
+        "token", "label_str"
+    )
+    return (
+        res.state.join(v_dict, "vertex")
+        .join(l_dict, "label")
+        .select(
+            F.col("vertex_str").alias("vertex"),
+            F.col("label_str").alias("label"),
+        )
+    )

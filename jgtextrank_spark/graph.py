@@ -137,7 +137,9 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def encode_vertices(
-    edges: DataFrame, extra_vertices: DataFrame | None = None
+    edges: DataFrame,
+    extra_vertices: DataFrame | None = None,
+    order_preserving: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dictionary-encode string vertex ids to dense longs:
     returns (edges_encoded(src, dst, weight), dict(id, token)).
@@ -155,6 +157,13 @@ def encode_vertices(
 
     ``extra_vertices`` (one column ``id``) adds isolated vertices to the
     dictionary so solvers that accept a vertex universe can encode it too.
+
+    ``order_preserving=True`` assigns ids monotone in the string order
+    (distributed range-partitioned sort + zipWithIndex — one extra sort
+    shuffle, one time), so min-id / smallest-label tie-breaks on encoded
+    ids are IDENTICAL to the string semantics — required for solvers
+    whose dynamics depend on label order (LPA); hash-min CC and PageRank
+    don't need it.
     """
     tokens = edges.select(F.col("src").alias("token")).unionByName(
         edges.select(F.col("dst").alias("token"))
@@ -163,11 +172,26 @@ def encode_vertices(
         tokens = tokens.unionByName(
             extra_vertices.select(F.col("id").alias("token"))
         )
-    tokens = (
-        tokens.distinct()
-        .withColumn("id", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    tokens = tokens.distinct()
+    if order_preserving:
+        spark = edges.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # zipWithIndex preserves the global sort order across partitions
+        # (indices are assigned per partition plus partition offsets)
+        rdd = tokens.orderBy("token").rdd.map(lambda r: (r[0],)).zipWithIndex()
+        schema = StructType(
+            [
+                StructField("token", tokens.schema["token"].dataType),
+                StructField("id", LongType()),
+            ]
+        )
+        tokens = spark.createDataFrame(
+            rdd.map(lambda t: (t[0][0], t[1])), schema
+        )
+    else:
+        tokens = tokens.withColumn("id", F.monotonically_increasing_id())
+    tokens = tokens.localCheckpoint(eager=True)
     enc = (
         edges.join(
             tokens.select(F.col("token").alias("src"), F.col("id").alias("src_id")),

@@ -77,6 +77,19 @@ def main() -> None:
 
     tp_a = a["edges_per_sec_per_superstep"]
     tp_b = b["edges_per_sec_per_superstep"]
+    # robust steady-state estimate: MEDIAN of the post-warmup superstep
+    # walls (a noisy-neighbour spike in this shared sandbox otherwise
+    # poisons a mean-based ratio; medians of 6 samples shrug it off)
+    import statistics
+
+    def median_steady(r):
+        walls = r["step_walls_sec"]
+        steady = walls[2:] if len(walls) > 4 else walls
+        return statistics.median(steady)
+
+    med_a, med_b = median_steady(a), median_steady(b)
+    tp_a = a["edges"] / med_a
+    tp_b = b["edges"] / med_b
     factor = xn / n
     eff = (tp_b / tp_a) / factor
 
@@ -88,9 +101,11 @@ Protocol (BASELINE.md §3): identical converged weighted-PageRank job on the
 identical deterministic power-law edge table at two local parallelism
 levels, fresh JVM each, shuffle partitions scaled with cores. Convergence:
 total L1 delta < 1e-6 on the networkx recurrence (parity tests in
-tests/test_pagerank.py). Throughput = edges / steady-state mean superstep
+tests/test_pagerank.py). Throughput = edges / MEDIAN post-warmup superstep
 wall (first two supersteps excluded: JIT warmup + first touch of the
-cached adjacency; full per-superstep walls listed below).
+cached adjacency; median because this shared sandbox shows sporadic
+noisy-neighbour spikes — full per-superstep walls listed below so the
+raw data is inspectable).
 
 N and 4N are 2 and 8 cores: this sandbox exposes 32 logical CPUs but only
 ~16 physical cores (SMT) — a pure-CPU probe (32 identical processes) shows
@@ -105,10 +120,10 @@ linearly, so 2-vs-8 measures the engine, not the SMT penalty.
 
 ## Runs
 
-| run | master | shuffle partitions | supersteps | converged | total superstep wall (s) | steady superstep (s) | edges/sec/superstep |
+| run | master | shuffle partitions | supersteps | converged | total superstep wall (s) | median steady superstep (s) | edges/sec/superstep |
 |---|---|---|---|---|---|---|---|
-| A (N={n}) | local[{n}] | {n} | {a['supersteps']} | {a['converged']} | {a['superstep_sec']:.2f} | {a['steady_superstep_sec']:.3f} | {tp_a:,.0f} |
-| B (4N={xn}) | local[{xn}] | {xn} | {b['supersteps']} | {b['converged']} | {b['superstep_sec']:.2f} | {b['steady_superstep_sec']:.3f} | {tp_b:,.0f} |
+| A (N={n}) | local[{n}] | {n} | {a['supersteps']} | {a['converged']} | {a['superstep_sec']:.2f} | {med_a:.3f} | {tp_a:,.0f} |
+| B (4N={xn}) | local[{xn}] | {xn} | {b['supersteps']} | {b['converged']} | {b['superstep_sec']:.2f} | {med_b:.3f} | {tp_b:,.0f} |
 
 Per-superstep walls (s):
 * A: {a['step_walls_sec']}
@@ -127,6 +142,10 @@ as required: the input and numerics are identical, only parallelism varies.
 Final L1 delta: A={a['final_delta']:.3e}, B={b['final_delta']:.3e}.
 """
     out = REPO / "BENCH" / "BASELINE.md"
+    # preserve any non-scaling sections (microbenches) already in the file
+    marker = "## Round-2 microbenches"
+    if out.exists() and marker in out.read_text():
+        md += "\n" + marker + out.read_text().split(marker, 1)[1]
     out.write_text(md)
     print(f"wrote {out}\nefficiency={eff:.3f}")
 

@@ -272,6 +272,35 @@ def test_lpa_two_cliques(spark):
     assert {got[str(i)] for i in range(10, 14)} == {"10"}
 
 
+def test_lpa_encoded_order_preserving(spark):
+    """LPA tie-breaks to the SMALLEST label, so encoding is only sound if
+    ids are monotone in string order. Stringified ints make lexicographic
+    and numeric order disagree ('10' < '2'), which would corrupt a naive
+    encoding — the order-preserving path must match the plain run
+    exactly."""
+    edges = _rand_graph(seed=13, n=30, m=45, selfloops=False)
+    df = _edges_df(spark, edges)
+    plain = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(df, max_iter=10).collect()
+    }
+    enc = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(df, max_iter=10, encode_ids=True).collect()
+    }
+    assert enc == plain
+
+
+def test_encode_vertices_order_preserving(spark):
+    from jgtextrank_spark.graph import encode_vertices
+
+    df = _edges_df(spark, [(2, 10), (10, 100), (100, 3)])
+    _, vdict = encode_vertices(df, order_preserving=True)
+    rows = sorted((r["token"], r["id"]) for r in vdict.collect())
+    # ids monotone in string order, dense from 0
+    assert [i for _, i in rows] == list(range(len(rows)))
+
+
 # ----------------------------------------------------------------- triangles
 @pytest.mark.parametrize("seed,n,m", [(3, 25, 60), (13, 50, 150)])
 def test_triangles_and_clustering(spark, seed, n, m):
