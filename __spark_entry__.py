@@ -296,6 +296,65 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def _synth_pages(spark, sf_dir):
+    """Deterministic Common-Crawl-shaped pages (url, warc_ts, html binary,
+    text, lang — the north-rule input table) synthesized from `documents`
+    (testdata ships no html column). Each page links to three targets in
+    closed form — one absolute cross-host, one root-relative, one
+    same-directory relative — plus a javascript: link the resolver must
+    drop. The oracle derives the expected edges INDEPENDENTLY from the
+    same arithmetic (not by re-running the regexp), so the whole
+    extract->resolve path is checked end-to-end."""
+    d = F.col("doc_id")
+    t1 = (d * 7 + 1) % 997
+    t2 = (d * 13 + 3) % 997
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/d/"), d.cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        (t1 % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        t1.cast("string"),
+        F.lit('.html">a</a><a href="/d/'),
+        t2.cast("string"),
+        F.lit('.html">b</a><a href="rel'),
+        t2.cast("string"),
+        F.lit('.html">c</a><a href="javascript:void(0)">n</a></body></html>'),
+    )
+    return _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def q_web_link_edges(spark, sf_dir):
+    """Hyperlink extraction -> URL resolution -> page-level link graph
+    over the synthesized north-rule pages table."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import link_edges
+
+    return link_edges(_synth_pages(spark, sf_dir))
+
+
+def q_web_host_pagerank(spark, sf_dir):
+    """North-star flagship shape: pages -> hyperlink edges -> host-graph
+    rollup -> DIRECTED weighted PageRank (fixed supersteps; oracle is the
+    dangling-aware unrolled CTE chain over the closed-form host edges)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.weblinks import host_edges, link_edges
+
+    he = host_edges(link_edges(_synth_pages(spark, sf_dir)))
+    scores = pagerank(he, max_iter=PR_ITERS, tol=0.0, checkpoint_every=0)
+    return scores.select("vertex", F.round("score", 6).alias("score"))
+
+
 def q_token_count(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.textstats import token_count
@@ -526,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
         "textrank_keywords": q_textrank_keywords,
+        "web_link_edges": q_web_link_edges,
+        "web_host_pagerank": q_web_host_pagerank,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -701,6 +762,100 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}
 """
+
+
+# Closed-form derivation of the synthesized pages' link graph
+# (see _synth_pages): the oracle does NOT re-run the href regexp — it
+# reconstructs the expected edges from the same arithmetic, checking the
+# whole extract->resolve pipeline against an independent derivation.
+_WEB_BASE = """
+base AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org/d/'
+           || doc_id::VARCHAR || '.html' AS src,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org' AS origin,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org/d/' AS dir,
+         (doc_id * 7 + 1) % 997 AS t1,
+         (doc_id * 13 + 3) % 997 AS t2
+  FROM documents
+)"""
+
+_WEB_LINK_EDGES = _WEB_BASE + """,
+links AS (
+  SELECT src, 'https://h' || (t1 % 7)::VARCHAR || '.example.org/d/'
+              || t1::VARCHAR || '.html' AS dst FROM base
+  UNION ALL
+  SELECT src, origin || '/d/' || t2::VARCHAR || '.html' AS dst FROM base
+  UNION ALL
+  SELECT src, dir || 'rel' || t2::VARCHAR || '.html' AS dst FROM base
+),
+edges AS (
+  SELECT src, dst, count(*)::DOUBLE AS weight
+  FROM links WHERE src <> dst GROUP BY src, dst
+)"""
+
+# host rollup: only the absolute cross-host link survives (root-relative
+# and same-directory links resolve within the page's own host)
+_WEB_HOST_EDGES = _WEB_BASE + """,
+edges AS (
+  SELECT 'h' || (doc_id % 7)::VARCHAR || '.example.org' AS src,
+         'h' || (t1 % 7)::VARCHAR || '.example.org' AS dst,
+         count(*)::DOUBLE AS weight
+  FROM base
+  WHERE t1 <> doc_id AND (t1 % 7) <> (doc_id % 7)
+  GROUP BY 1, 2
+)"""
+
+
+def _pagerank_sql_directed(iters: int, edges_cte: str) -> str:
+    """Dangling-aware unrolled PageRank over a DIRECTED ``edges(src, dst,
+    weight)`` CTE (the symmetrized token-graph oracle has no dangling
+    vertices, so _pagerank_sql omits that term; a real link graph needs
+    it: new_rank = a*(contrib + dangle/N) + (1-a)/N)."""
+    ctes = [
+        edges_cte,
+        """
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+outdeg AS (SELECT src, sum(weight) AS s FROM edges GROUP BY src),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.s AS nw
+  FROM edges e JOIN outdeg o USING (src)
+),
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM verts),
+dang AS (
+  SELECT v FROM verts LEFT JOIN outdeg ON outdeg.src = verts.v
+  WHERE outdeg.src IS NULL
+),
+r0 AS (SELECT v, 1.0 / (SELECT cnt FROM nn) AS r FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+d{i - 1} AS (
+  SELECT coalesce(sum(r.r), 0) AS dm
+  FROM r{i - 1} r JOIN dang ON dang.v = r.v
+),
+r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         0.85 * (coalesce(c.c, 0)
+                 + (SELECT dm FROM d{i - 1}) / (SELECT cnt FROM nn))
+         + 0.15 / (SELECT cnt FROM nn) AS r
+  FROM verts LEFT JOIN (
+    SELECT norm.dst, sum(norm.nw * p.r) AS c
+    FROM norm JOIN r{i - 1} p ON p.v = norm.src
+    GROUP BY norm.dst
+  ) c ON c.dst = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT v AS vertex, round(r, 6) AS score FROM r{iters}"
+    )
 
 
 def _lpa_sql(iters: int) -> str:
@@ -1113,4 +1268,10 @@ FROM events GROUP BY 1, 2""",
     d["pagerank_encoded"] = d["pagerank"]
     d["components_star_per_doc"] = d["components_per_doc"]
     d["label_propagation_encoded"] = d["label_propagation"]
+    d["web_link_edges"] = (
+        f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
+    )
+    d["web_host_pagerank"] = _pagerank_sql_directed(
+        PR_ITERS, _WEB_HOST_EDGES
+    )
     return d

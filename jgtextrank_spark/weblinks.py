@@ -1,0 +1,134 @@
+"""Hyperlink extraction + web link-graph construction.
+
+The north-star input is a table of Common-Crawl-style pages
+``(url, warc_ts, html binary, text, lang)`` and the engine's edge table
+comes from BOTH hyperlinks and co-occurrence windows. ``graph.py`` covers
+co-occurrence; this module covers the hyperlink side:
+
+    pages ──extract_hrefs──► (src_url, href)
+          ──resolve_href───► (src_url, dst_url)         absolute targets
+          ──link_edges─────► (src, dst, weight)         page-level graph
+          ──host_edges─────► (src, dst, weight)         host-level rollup
+
+Everything is JVM-side column algebra (binary decode + regexp + string
+ops) — no Python in the hot path, so extraction is embarrassingly
+parallel over page partitions and the only shuffles are the final edge
+aggregations. Every step is deterministic and replayable in ANSI SQL
+(the correctness gate replays it in DuckDB).
+
+URL resolution implements the subset of RFC 3986 that dominates web
+corpora — absolute http(s), protocol-relative (``//h/p``), root-relative
+(``/p``), and same-directory relative references — and drops
+non-navigational schemes (javascript/mailto/data/tel) and pure-fragment
+links. Dot-segment normalization (``../``) is intentionally left to a
+dedicated cleaning pass; the resolver keeps them literal (documented
+limit, same choice as many production crawl pipelines' first stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "HREF_PATTERN",
+    "extract_hrefs",
+    "resolve_href",
+    "link_edges",
+    "host_of",
+    "host_edges",
+]
+
+# href attribute of <a> tags; group 1 = the target. Case-insensitive,
+# tolerant of attribute order and unquoted whitespace.
+HREF_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""
+
+
+def _html_str(col, binary: bool) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.decode(c, "UTF-8") if binary else c
+
+
+def extract_hrefs(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    html_is_binary: bool = True,
+) -> DataFrame:
+    """(src_url, href): one row per anchor occurrence (duplicates kept —
+    they carry the link weight)."""
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(
+                _html_str(html_col, html_is_binary),
+                F.lit(HREF_PATTERN),
+                F.lit(1),
+            )
+        ).alias("href"),
+    )
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Absolute target URL for ``href`` found on page ``base``, or NULL
+    for non-navigational targets. Fragments are stripped first (links to
+    an anchor on the same resource are the same edge)."""
+    h = F.trim(href)
+    h = F.split_part(h, F.lit("#"), F.lit(1))  # strip fragment
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    # directory of the base: up to and including the last '/' of the path
+    base_dir = F.regexp_extract(base, r"^(.*/)[^/]*$", 1)
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.rlike(r"(?i)^(javascript|mailto|data|tel):"), F.lit(None))
+        .when(h.rlike(r"(?i)^https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(base_dir, h))
+    )
+
+
+def link_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    html_is_binary: bool = True,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Page-level link graph ``(src, dst, weight)``; weight = number of
+    anchors from src to dst. One narrow extraction pass + one aggregation
+    shuffle."""
+    hrefs = extract_hrefs(pages, html_col, url_col, html_is_binary)
+    resolved = hrefs.select(
+        F.col("src_url").alias("src"),
+        resolve_href(F.col("src_url"), F.col("href")).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    if drop_self_loops:
+        resolved = resolved.where(F.col("src") != F.col("dst"))
+    return resolved.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+
+
+def host_of(col) -> Column:
+    """Host component (SQL-replayable regexp, lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+
+
+def host_edges(page_edges: DataFrame) -> DataFrame:
+    """Host-level rollup of a page-level link graph: ``(src, dst,
+    weight)`` with weight = total inter-host anchors; intra-host links
+    dropped (the standard web-graph host projection)."""
+    hosts = page_edges.select(
+        host_of("src").alias("src"),
+        host_of("dst").alias("dst"),
+        "weight",
+    ).where(
+        (F.col("src") != "") & (F.col("dst") != "")
+        & (F.col("src") != F.col("dst"))
+    )
+    return hosts.groupBy("src", "dst").agg(
+        F.sum("weight").alias("weight")
+    )
