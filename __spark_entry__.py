@@ -314,7 +314,9 @@ def _synth_pages(spark, sf_dir):
         F.lit(".html"),
     )
     html = F.concat(
-        F.lit('<html><body><a href="https://h'),
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://h'),
         (t1 % 7).cast("string"),
         F.lit(".example.org/d/"),
         t1.cast("string"),
@@ -340,6 +342,16 @@ def q_web_link_edges(spark, sf_dir):
     from jgtextrank_spark.weblinks import link_edges
 
     return link_edges(_synth_pages(spark, sf_dir))
+
+
+def q_web_text_extract(spark, sf_dir):
+    """HTML -> visible-text extraction over the synthesized pages. The
+    oracle reconstructs the expected text in closed form (document text
+    + the four anchor labels), independent of the tag-stripping regexps."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import extract_page_text
+
+    return extract_page_text(_synth_pages(spark, sf_dir))
 
 
 def q_web_host_pagerank(spark, sf_dir):
@@ -587,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "web_host_pagerank": q_web_host_pagerank,
+        "web_text_extract": q_web_text_extract,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -1271,6 +1284,17 @@ FROM events GROUP BY 1, 2""",
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
+    d["web_text_extract"] = f"""
+WITH {_WEB_BASE},
+ct AS (
+  SELECT b.src AS url,
+         trim(regexp_replace(d.text, '\\s+', ' ', 'g')) AS body
+  FROM base b JOIN documents d USING (doc_id)
+)
+SELECT url,
+       CASE WHEN body = '' THEN 'a b c n'
+            ELSE body || ' a b c n' END AS text
+FROM ct"""
     d["web_host_pagerank"] = _pagerank_sql_directed(
         PR_ITERS, _WEB_HOST_EDGES
     )

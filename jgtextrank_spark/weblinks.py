@@ -37,6 +37,8 @@ __all__ = [
     "link_edges",
     "host_of",
     "host_edges",
+    "html_to_text",
+    "extract_page_text",
 ]
 
 # href attribute of <a> tags; group 1 = the target. Case-insensitive,
@@ -115,6 +117,46 @@ def host_of(col) -> Column:
     """Host component (SQL-replayable regexp, lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+
+
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def html_to_text(col, binary: bool = True) -> Column:
+    """Visible text of an HTML document as a column expression:
+    script/style/comment blocks removed, tags replaced by spaces, the six
+    ubiquitous entities decoded, whitespace collapsed. Deterministic
+    regexp algebra (JVM-side, DuckDB-replayable) — a cleaning pass, not a
+    browser; layout-accurate rendering is out of scope by design."""
+    t = _html_str(col, binary)
+    t = F.regexp_replace(t, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_page_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    html_is_binary: bool = True,
+) -> DataFrame:
+    """(url, text): extracted visible text per page — the ingest step
+    that turns the raw crawl table into the engine's text column."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        html_to_text(html_col, html_is_binary).alias("text"),
+    )
 
 
 def host_edges(page_edges: DataFrame) -> DataFrame:

@@ -77,6 +77,24 @@ def test_self_loops_dropped_and_host_rollup(spark):
     assert he == {("a.org", "b.org"): 2.0, ("b.org", "a.org"): 1.0}
 
 
+def test_html_to_text(spark):
+    from jgtextrank_spark.weblinks import extract_page_text
+
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<!-- comment -->"
+        "<body><p>Hello &amp;&nbsp;world</p><div>A &lt;tag&gt; "
+        "&quot;quoted&#39;</div></body></html>"
+    )
+    pages = _pages(spark, [("https://s.org/p", html)])
+    got = extract_page_text(pages).collect()[0]["text"]
+    assert got == "Hello & world A <tag> \"quoted'"
+    # &amp;lt; must decode to the LITERAL '&lt;', not '<'
+    pages2 = _pages(spark, [("https://s.org/q", "<p>&amp;lt;</p>")])
+    assert extract_page_text(pages2).collect()[0]["text"] == "&lt;"
+
+
 def test_host_pagerank_vs_nx(spark):
     """North-star flagship shape: pages -> hyperlink edges -> host graph
     -> DIRECTED weighted PageRank, vs the nx-recurrence oracle."""
