@@ -563,6 +563,52 @@ def q_prf_eval(spark, sf_dir):
     )
 
 
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H-Q1-style pricing rollup over lineitem — the canonical
+    partial-aggregation shape (map-side combine -> one exchange)."""
+    _prep(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_orders_by_nation(spark, sf_dir):
+    """Orders revenue per customer nation — broadcast-dim star join
+    (nation and customer broadcast under the 64MB threshold; the only
+    wide exchange is the final aggregation)."""
+    _prep(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def q_events_daily(spark, sf_dir):
     _prep(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -615,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "top_tokens": q_top_tokens,
         "prf_eval": q_prf_eval,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_nation": q_orders_by_nation,
         "events_daily": q_events_daily,
     }
 
@@ -1269,6 +1317,24 @@ SELECT round(CASE WHEN nt > 0 THEN i / nt ELSE 0 END, 6) AS precision,
        round(CASE WHEN i > 0 THEN 2 * (i/nt) * (i/ng) / (i/nt + i/ng)
              ELSE 0 END, 6) AS f1
 FROM m""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
         "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*)::BIGINT AS n_events,

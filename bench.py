@@ -264,6 +264,10 @@ def main() -> None:
             entrymod.q_lang_id(spark, sf_dir).count(),
         ),
     )
+    timed(
+        "web_links_and_host_pagerank",
+        lambda: entrymod.q_web_host_pagerank(spark, sf_dir).collect(),
+    )
 
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
