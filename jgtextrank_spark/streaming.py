@@ -39,6 +39,7 @@ __all__ = [
     "streaming_cooccurrence_edges",
     "streaming_dedup_pages",
     "streaming_token_stats",
+    "streaming_sessionize",
 ]
 
 # the north-rule input table shape (BASELINE.json input_hint)
@@ -111,6 +112,106 @@ def streaming_dedup_pages(
         fp = fp.withWatermark(ts_col, watermark)
         return fp.dropDuplicatesWithinWatermark(["fp"])
     return fp.dropDuplicates(["fp"])
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+    timeout_minutes: float = 60.0,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization of an event stream. A session for a key
+    closes when no event arrives within ``gap_minutes`` of its last event
+    (decided via processing-time timeout once the stream goes quiet for
+    that key) — the canonical "operator Spark's built-ins can't express
+    as a plain windowed agg" (session windows with per-key custom state
+    and arbitrary per-session aggregates).
+
+    Emits one row per CLOSED session:
+    ``(key, session_start, session_end, n_events, sum_value)``.
+    State per key is one open session (bounded memory); the grouped Arrow
+    batches keep the Python boundary vectorized."""
+    import pandas as pd  # noqa: F401  (imported for the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(gap_minutes * 60 * 1000)
+    out_schema = (
+        f"key string, session_start timestamp, session_end timestamp, "
+        f"n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        closed = []
+
+        def flush(start, last, n, total):
+            closed.append(
+                (
+                    key[0],
+                    pd.Timestamp(start, unit="ms"),
+                    pd.Timestamp(last, unit="ms"),
+                    n,
+                    total,
+                )
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            flush(start, last, n, total)
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdf_iter:
+                ts_ms = (
+                    pdf[ts_col].astype("int64") // 1_000_000
+                )  # ns -> ms
+                rows.append(
+                    pd.DataFrame(
+                        {"t": ts_ms, "v": pdf[value_col].astype("float64")}
+                    )
+                )
+            batch = pd.concat(rows).sort_values("t")
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start = last = int(batch["t"].iloc[0])
+                n, total = 0, 0.0
+            for t, v in zip(batch["t"], batch["v"]):
+                t = int(t)
+                if n > 0 and t - last > gap_ms:
+                    flush(start, last, n, total)
+                    start, n, total = t, 0, 0.0
+                n += 1
+                total += float(v)
+                last = max(last, t)
+            state.update((start, last, n, total))
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "key", "session_start", "session_end", "n_events",
+                    "sum_value",
+                ],
+            )
+
+    keyed = events.withColumn(
+        "key", F.col(key_col).cast("string")
+    ).withWatermark(ts_col, watermark)
+    grouped = keyed.groupBy("key")
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def streaming_token_stats(

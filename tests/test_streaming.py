@@ -107,6 +107,43 @@ def test_streaming_token_stats(spark, tmp_path):
     assert rows[T0 + dt.timedelta(hours=2)] == (1, 3)
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: gap-based session
+    windows with per-key state. Sessions separated by more than the gap
+    INSIDE the stream close and emit; trailing open sessions stay in
+    state (closed later by the processing-time timeout on a live
+    stream)."""
+    from jgtextrank_spark.streaming import streaming_sessionize
+
+    rows = [
+        ("u1", T0, 1.0),
+        ("u1", T0 + dt.timedelta(minutes=5), 2.0),
+        # > 10-minute gap -> first session closes
+        ("u1", T0 + dt.timedelta(minutes=60), 4.0),
+        ("u1", T0 + dt.timedelta(minutes=62), 8.0),
+        ("u2", T0, 16.0),  # single open session, must NOT emit
+    ]
+    path = str(tmp_path / "events_stream")
+    spark.createDataFrame(
+        rows, "user_id string, ts timestamp, value double"
+    ).write.parquet(path)
+    ev = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .parquet(path)
+    )
+    got = _run(
+        spark,
+        streaming_sessionize(ev, gap_minutes=10),
+        "stream_sessions",
+        "append",
+    )
+    sessions = {
+        (r["key"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    assert sessions == {("u1", T0, 2, 3.0)}
+
+
 def test_streaming_edges_running_total(spark, tmp_path):
     """No event-time column: global running (src, dst, weight) aggregate."""
     path = _write_pages(spark, tmp_path)
