@@ -491,6 +491,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 2
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate ANN. The coarse index is a deterministic
+    md5-seeded sample, so the DuckDB oracle rebuilds the identical
+    inverted lists and probes."""
+    _prep(spark)
+    from jgtextrank_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return ivf_topk(
+        emb, queries, k=ANN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    ).select(
+        "q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.multimodal import media_metadata
@@ -658,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "top_tokens": q_top_tokens,
         "prf_eval": q_prf_eval,
@@ -1048,6 +1069,59 @@ r AS (
 SELECT q_id, n_id, cosine, rank::BIGINT AS rank FROM r WHERE rank <= {k}"""
 
 
+def _ann_ivf_sql(
+    k: int, n_queries: int, n_centroids: int, n_probe: int
+) -> str:
+    """Replay of similarity.ivf_topk: md5-seeded coarse centroids,
+    rounded-cosine assignment (ties -> largest centroid id), n_probe
+    nearest lists per query, exact cosine rank within candidates."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM e
+  ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids}
+),
+asgn AS (
+  SELECT n_id, nv, cluster FROM (
+    SELECT n.vec_id AS n_id, n.v AS nv, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                      c.c_id DESC) AS rn
+    FROM e n, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, qv, cluster FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                      c.c_id DESC) AS rn
+    FROM e q, cents c WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN asgn a USING (cluster)
+  WHERE a.n_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id,
+         round(list_cosine_similarity(qe.v, ne.v), 6) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.q_id
+  JOIN e ne ON ne.vec_id = cand.n_id
+),
+r AS (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank::BIGINT AS rank FROM r WHERE rank <= {k}"""
+
+
 def _emb_bucket_sql(threshold: float, bucket_dims: int) -> str:
     """Replay of the bucketed embedding_near_dup_pairs: pairs restricted
     to equal sign-pattern buckets on the first ``bucket_dims`` dims."""
@@ -1257,6 +1331,10 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         "dedup_simhash": _simhash_sql(max_hamming=10),
         "ann_lsh_topk": _ann_lsh_sql(
             k=ANN_K, n_queries=ANN_QUERIES, bucket_dims=LSH_BUCKET_DIMS
+        ),
+        "ann_ivf_topk": _ann_ivf_sql(
+            k=ANN_K, n_queries=ANN_QUERIES, n_centroids=IVF_CENTROIDS,
+            n_probe=IVF_PROBE,
         ),
         "label_propagation": _lpa_sql(10),
         "embedding_near_dup": _emb_bucket_sql(

@@ -33,6 +33,9 @@ __all__ = [
     "media_metadata",
     "fake_image_features",
     "decode_images",
+    "resize_images",
+    "sample_frames",
+    "audio_features",
     "MEDIA_META_SCHEMA",
     "FEATURE_DIM",
 ]
@@ -133,6 +136,137 @@ def fake_image_features(
             )
 
     return df.mapInPandas(gen, _FEATURE_SCHEMA)
+
+
+def _fake_floats(b: bytes, n: int, salt: bytes = b"") -> list[float]:
+    """n deterministic floats in [-1, 1) from md5(salt || bytes) — the
+    stand-in for any decode kernel's numeric output."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < n:
+        h = hashlib.md5(salt + counter.to_bytes(4, "big") + b).digest()
+        out.extend((x - 127.5) / 127.5 for x in h)
+        counter += 1
+    return out[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    height: int = 8,
+    width: int = 8,
+    channels: int = 1,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    kernel: str = "fake",
+) -> DataFrame:
+    """Decode + resize plumbing: bytes -> fixed (height*width*channels)
+    float pixel vector per image. ``kernel='fake'`` uses the
+    deterministic stand-in (the Arrow batch contract — bytes in, fixed-
+    width float array out — is exactly what a PIL/torchvision kernel
+    needs); ``kernel='real'`` raises until an image library is wired in."""
+    n_px = height * width * channels
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("height", LongType()),
+            StructField("width", LongType()),
+            StructField("pixels", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for b in pdf[bin_col]:
+                raw = bytes(b) if b is not None else b""
+                if kernel == "real":
+                    _decode_image_bytes(raw)
+                pixels.append(_fake_floats(raw, n_px, b"px:"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "height": height,
+                    "width": width,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to
+    ``n_frames`` rows ``(doc_id, frame_idx, feature)`` — the 1->N Arrow
+    batch shape a real ffmpeg/decord sampler produces. Frame features are
+    the deterministic stand-in, keyed by (bytes, frame_idx)."""
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("frame_idx", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                raw = bytes(b) if b is not None else b""
+                for i in range(n_frames):
+                    ids.append(doc)
+                    idxs.append(i)
+                    feats.append(
+                        _fake_floats(raw, FEATURE_DIM, b"frame:%d:" % i)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "feature": feats}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    n_coeffs: int = 13,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Audio feature plumbing: bytes -> (doc_id, n_bytes, coeffs) with a
+    fixed-width MFCC-shaped float vector (deterministic stand-in; wire
+    torchaudio/librosa at the marked kernel to productionize)."""
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("coeffs", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "n_bytes": [
+                        len(b) if b is not None else 0 for b in pdf[bin_col]
+                    ],
+                    "coeffs": [
+                        _fake_floats(
+                            bytes(b) if b is not None else b"",
+                            n_coeffs,
+                            b"mfcc:",
+                        )
+                        for b in pdf[bin_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(gen, schema)
 
 
 def decode_images(

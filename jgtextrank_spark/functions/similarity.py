@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
 
 
 def _norm_cols(df: DataFrame, id_col: str, vec_col: str, prefix: str):
@@ -61,6 +61,89 @@ def cosine_topk(
             "cosine"
         ),
     )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are inverted-listed
+    under their nearest coarse centroid; each query probes only its
+    ``n_probe`` nearest lists, then ranks candidates by exact cosine.
+
+    Coarse centroids are a DETERMINISTIC seeded sample (the
+    ``n_centroids`` corpus vectors with smallest md5(id)) so the whole
+    index is engine-replayable — the correctness gate rebuilds it in
+    DuckDB. Assignment ties break on rounded cosine then LARGEST centroid
+    id (max-struct semantics). Expected candidates per probe ≈
+    corpus/n_centroids; at scale, assignment is a broadcast of the tiny
+    centroid table against the corpus (map-side), the inverted lists are
+    a hash partition by cluster, and a k-means refinement pass would
+    slot in between (centroid update = one groupBy(cluster, dim) mean)."""
+    c = _norm_cols(corpus, id_col, vec_col, "n")
+    cents = (
+        c.select(
+            F.col("n_id").alias("c_id"),
+            F.col("n_vec").alias("c_vec"),
+            F.col("n_nrm").alias("c_nrm"),
+            F.md5(F.col("n_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .drop("h")
+    )
+    n_scored = c.join(F.broadcast(cents)).select(
+        "n_id",
+        "n_vec",
+        "n_nrm",
+        "c_id",
+        F.round(_cosine("n_vec", "c_vec", "n_nrm", "c_nrm"), 6).alias("cs"),
+    )
+    assign = (
+        n_scored.groupBy("n_id")
+        .agg(
+            F.first("n_vec").alias("n_vec"),
+            F.first("n_nrm").alias("n_nrm"),
+            F.max(F.struct("cs", "c_id")).alias("best"),
+        )
+        .select(
+            "n_id", "n_vec", "n_nrm", F.col("best.c_id").alias("cluster")
+        )
+    )
+    q = _norm_cols(queries, id_col, vec_col, "q")
+    q_scored = q.join(F.broadcast(cents)).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        "c_id",
+        F.round(_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"), 6).alias("cs"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.desc("c_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("cluster"))
+    )
+    cand = assign.join(F.broadcast(probes), "cluster").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select(
+        "q_id",
+        "n_id",
+        F.round(_cosine("q_vec", "n_vec", "q_nrm", "n_nrm"), 6).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

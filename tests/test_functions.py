@@ -158,6 +158,35 @@ def test_lsh_topk_finds_near_duplicate(spark):
     assert got[0]["n_id"] == 1  # the planted near-dup shares the bucket
 
 
+def test_ivf_topk_recall(spark):
+    """IVF-flat: deterministic index, planted near-dup recovered, and
+    recall@3 vs the exact ranking stays useful at n_probe=2/8 lists."""
+    from jgtextrank_spark.functions.similarity import ivf_topk
+
+    emb, _ = _mkemb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    got = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    assert got
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+    # planted near-dup of vec 0 is vec 1 — near-identical vectors share
+    # the nearest coarse centroid, so IVF must recover it
+    assert 1 in by_q[0]
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+    hits = sum(
+        len(by_q.get(q, set()) & s) for q, s in exact_by_q.items()
+    )
+    total = sum(len(s) for s in exact_by_q.values())
+    assert hits / total >= 0.5  # approximate, but not useless
+    # determinism: identical re-run
+    again = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in got}
+
+
 def test_embedding_near_dup(spark):
     emb, vecs = _mkemb(spark)
     got = {
@@ -217,3 +246,40 @@ def test_decode_stub_raises(spark):
     )
     with pytest.raises(Exception, match="image decode requires"):
         decode_images(df).collect()
+
+
+def test_resize_frames_audio_plumbing(spark):
+    """Resize / frame-sample / audio-feature Arrow plumbing: fixed-width
+    outputs, deterministic kernels, 1->N frame fan-out, real-kernel
+    stub raises."""
+    from jgtextrank_spark.functions.multimodal import (
+        audio_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"img-bytes"), ("b", None)], "doc_id string, payload binary"
+    )
+    px = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert len(px["a"]["pixels"]) == 16 and len(px["b"]["pixels"]) == 16
+    assert (px["a"]["height"], px["a"]["width"]) == (4, 4)
+    px2 = {r["doc_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert px2["a"]["pixels"] == px["a"]["pixels"]  # deterministic
+
+    frames = sample_frames(df, n_frames=3).collect()
+    assert len(frames) == 6  # 2 docs x 3 frames
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+        assert len(r["feature"]) == 16
+    assert by_doc == {"a": {0, 1, 2}, "b": {0, 1, 2}}
+    # frames of the same doc differ (salted per index)
+    f_a = {r["frame_idx"]: r["feature"] for r in frames if r["doc_id"] == "a"}
+    assert f_a[0] != f_a[1]
+
+    au = {r["doc_id"]: r for r in audio_features(df, n_coeffs=13).collect()}
+    assert len(au["a"]["coeffs"]) == 13 and au["b"]["n_bytes"] == 0
+
+    with pytest.raises(Exception, match="image decode requires"):
+        resize_images(df, kernel="real").collect()
