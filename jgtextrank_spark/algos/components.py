@@ -151,9 +151,8 @@ def _large_star(E: DataFrame) -> DataFrame:
     return (
         nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
-        # m <= u < v, so (m, v) is already canonical
+        # m <= u < v, so (m, v) is already canonical and never a self-loop
         .select(F.col("m").alias("u"), "v")
-        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
@@ -169,7 +168,9 @@ def _small_star(E: DataFrame) -> DataFrame:
     e1 = dd.filter(F.col("lo") != F.col("mn")).select(
         F.col("mn").alias("u"), F.col("lo").alias("v")  # mn < lo: canonical
     )
-    e2 = dd.select(F.col("mn").alias("u"), F.col("hi").alias("v")).distinct()
+    # no inner distinct on e2: the outer distinct subsumes it (one fewer
+    # exchange per round)
+    e2 = dd.select(F.col("mn").alias("u"), F.col("hi").alias("v"))
     return e1.unionByName(e2).distinct()
 
 

@@ -88,19 +88,6 @@ def pagerank_result(
     verts = edge_ids.distinct()
 
     out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
-    norm_edges = edges.join(out_deg, "src").select(
-        "src",
-        "dst",
-        (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
-    )
-    if salt_buckets > 0:
-        norm_edges = norm_edges.withColumn(
-            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets))
-        ).repartition(num_partitions, "src", "salt")
-    else:
-        norm_edges = norm_edges.repartition(num_partitions, "src")
-    norm_edges = norm_edges.persist()
-    norm_edges.count()  # materialize adjacency once
 
     verts = (
         verts.join(
@@ -117,6 +104,34 @@ def pagerank_result(
         .persist()
     )
     n = verts.count()
+
+    # Rank vectors far smaller than the adjacency are broadcast into both
+    # per-superstep joins: each superstep becomes map-only over the cached
+    # edge partitions (no shuffle at all). Above the threshold, shuffle
+    # joins against the pre-partitioned adjacency take over.
+    bcast = n <= broadcast_threshold
+
+    norm_edges = edges.join(out_deg, "src").select(
+        "src",
+        "dst",
+        (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
+    )
+    if salt_buckets > 0 and bcast:
+        # hot-SOURCE spreading is only sound in the broadcast regime
+        # (map-only contrib join). In the shuffle-join regime the plain
+        # (src) partitioning is load-bearing: the per-superstep join on
+        # src reuses the cached exchange, and (src, salt) partitioning
+        # would force a full O(E) re-shuffle every superstep — strictly
+        # worse than the skew it mitigates. There, salting applies to
+        # the two-stage aggregation only (below).
+        norm_edges = norm_edges.withColumn(
+            "salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets))
+        ).repartition(num_partitions, "src", "salt")
+    else:
+        norm_edges = norm_edges.repartition(num_partitions, "src")
+    norm_edges = norm_edges.persist()
+    norm_edges.count()  # materialize adjacency once
+
     if n == 0:
         empty = verts.select(
             F.col("vertex"),
@@ -130,12 +145,6 @@ def pagerank_result(
         F.lit(1.0 / n).alias("rank"),
         (~F.col("has_out")).alias("dangling"),
     )
-
-    # Rank vectors far smaller than the adjacency are broadcast into both
-    # per-superstep joins: each superstep becomes map-only over the cached
-    # edge partitions (no shuffle at all). Above the threshold, shuffle
-    # joins against the pre-partitioned adjacency take over.
-    bcast = n <= broadcast_threshold
 
     def _b(df):
         return F.broadcast(df) if bcast else df

@@ -174,21 +174,59 @@ def encode_vertices(
         )
     tokens = tokens.distinct()
     if order_preserving:
-        spark = edges.sparkSession
         from pyspark.sql.types import LongType, StructField, StructType
 
-        # zipWithIndex preserves the global sort order across partitions
-        # (indices are assigned per partition plus partition offsets)
-        rdd = tokens.orderBy("token").rdd.map(lambda r: (r[0],)).zipWithIndex()
+        spark = edges.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # JVM range-partitioned sort, then dense ids = per-partition
+        # prefix offset + vectorized arange inside Arrow batches. The
+        # sorted table is localCheckpoint-ed FIRST because range
+        # partitioning samples its bounds (not re-run-stable): the
+        # offsets job and the id-assignment job must read the same
+        # materialized partitions.
+        srt = (
+            tokens.repartitionByRange(n_parts, "token")
+            .sortWithinPartitions("token")
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in srt.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
         schema = StructType(
             [
                 StructField("token", tokens.schema["token"].dataType),
                 StructField("id", LongType()),
             ]
         )
-        tokens = spark.createDataFrame(
-            rdd.map(lambda t: (t[0][0], t[1])), schema
-        )
+
+        def assign(batches):
+            import pandas as pd
+
+            offset = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if offset is None:
+                    offset = offsets[int(pdf["pid"].iloc[0])]
+                yield pd.DataFrame(
+                    {
+                        "token": pdf["token"],
+                        "id": range(offset, offset + len(pdf)),
+                    }
+                )
+                offset += len(pdf)
+
+        tokens = srt.mapInPandas(assign, schema)
     else:
         tokens = tokens.withColumn("id", F.monotonically_increasing_id())
     tokens = tokens.localCheckpoint(eager=True)

@@ -190,6 +190,9 @@ def streaming_sessionize(
                 n += 1
                 total += float(v)
                 last = max(last, t)
+                # a late-but-in-watermark event merging into an open
+                # session can predate its recorded start
+                start = min(start, t)
             state.update((start, last, n, total))
             state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         if closed:

@@ -41,9 +41,12 @@ __all__ = [
     "extract_page_text",
 ]
 
-# href attribute of <a> tags; group 1 = the target. Case-insensitive,
-# tolerant of attribute order and unquoted whitespace.
-HREF_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""
+# href attribute of <a> tags; group 2 = the target (group 1 is the
+# opening quote, backreferenced so an apostrophe inside a double-quoted
+# href does not truncate the target). Case-insensitive, tolerant of
+# attribute order.
+HREF_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*(["'])([^>]*?)\1"""
+_HREF_GROUP = 2
 
 
 def _html_str(col, binary: bool) -> Column:
@@ -65,7 +68,7 @@ def extract_hrefs(
             F.regexp_extract_all(
                 _html_str(html_col, html_is_binary),
                 F.lit(HREF_PATTERN),
-                F.lit(1),
+                F.lit(_HREF_GROUP),
             )
         ).alias("href"),
     )
@@ -79,8 +82,17 @@ def resolve_href(base: Column, href: Column) -> Column:
     h = F.split_part(h, F.lit("#"), F.lit(1))  # strip fragment
     scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
     origin = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
-    # directory of the base: up to and including the last '/' of the path
-    base_dir = F.regexp_extract(base, r"^(.*/)[^/]*$", 1)
+    # directory of the base: last '/' of the PATH component only — the
+    # query/fragment are excluded first (a '/' inside '?x=/y' is not a
+    # path separator), and a base with no path at all ('https://h.org')
+    # resolves relative references against '/'
+    base_path = F.regexp_extract(
+        base, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path_dir = F.regexp_extract(base_path, r"^(.*/)", 1)
+    base_dir = F.concat(
+        origin, F.when(path_dir == "", F.lit("/")).otherwise(path_dir)
+    )
     return (
         F.when(h == "", F.lit(None).cast("string"))
         .when(h.rlike(r"(?i)^(javascript|mailto|data|tel):"), F.lit(None))

@@ -54,6 +54,13 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=10)
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--encode-ids", action="store_true")
+    p.add_argument(
+        "--undirected", action="store_true",
+        help="treat the edge table as undirected for pagerank "
+        "(symmetrize before solving). Default: link-graph and prebuilt "
+        "--edges inputs are DIRECTED; only the co-occurrence source is "
+        "symmetrized implicitly.",
+    )
     return p.parse_args(argv)
 
 
@@ -92,9 +99,13 @@ def run(spark, args) -> dict:
         from jgtextrank_spark.algos.pagerank import pagerank_result
         from jgtextrank_spark.graph import symmetrize
 
-        e = edges if args.edge_source == "links" and not args.edges else (
-            symmetrize(edges)
+        # directed by default for link graphs AND prebuilt edge tables
+        # (a materialized link graph must score identically to the same
+        # graph built in-job); co-occurrence graphs are undirected.
+        undirected = args.undirected or (
+            args.pages and args.edge_source == "cooccurrence"
         )
+        e = symmetrize(edges) if undirected else edges
         res, _n = pagerank_result(
             e, max_iter=args.max_iter, tol=args.tol,
             checkpoint_dir=args.checkpoint_dir,

@@ -75,8 +75,6 @@ def main() -> None:
     b = run_at(xn, xn, args.vertices, args.edges)
     print(json.dumps(b), flush=True)
 
-    tp_a = a["edges_per_sec_per_superstep"]
-    tp_b = b["edges_per_sec_per_superstep"]
     # robust steady-state estimate: MEDIAN of the post-warmup superstep
     # walls (a noisy-neighbour spike in this shared sandbox otherwise
     # poisons a mean-based ratio; medians of 6 samples shrug it off)

@@ -14,9 +14,15 @@ import linkgraph_job  # noqa: E402
 
 
 def _write_edges(spark, tmp_path):
+    # asymmetric on purpose: a uniform-stationary graph (e.g. a plain
+    # directed cycle) converges at superstep 1, before any durable
+    # checkpoint exists, and the resume test below would see nothing
     path = str(tmp_path / "edges")
     spark.createDataFrame(
-        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("d", "d", 1.0)],
+        [
+            ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+            ("a", "c", 3.0), ("d", "d", 1.0),
+        ],
         "src string, dst string, weight double",
     ).write.parquet(path)
     return path

@@ -40,6 +40,41 @@ def test_resolve_href_cases(spark):
         assert got[href] == want, (href, got[href], want)
 
 
+def test_resolve_href_pathless_and_query_bases(spark):
+    """Regression: a base with NO path ('https://h.org' — ubiquitous in
+    crawls) must resolve relative refs against '/', and a '/' inside the
+    query string is not a path separator."""
+    cases = [
+        ("https://example.com", "about.html", "https://example.com/about.html"),
+        ("https://example.com?q=1", "about.html",
+         "https://example.com/about.html"),
+        ("https://h.org/a?x=/y", "z.html", "https://h.org/z.html"),
+        ("https://h.org/a/b?x=/y/z", "c.html", "https://h.org/a/c.html"),
+    ]
+    df = spark.createDataFrame(
+        cases, "base string, href string, want string"
+    ).select(
+        "want", resolve_href(F.col("base"), F.col("href")).alias("r")
+    )
+    for r in df.collect():
+        assert r["r"] == r["want"], (r["r"], r["want"])
+
+
+def test_href_mixed_quotes(spark):
+    """Regression: an apostrophe inside a double-quoted href must not
+    truncate the target (backreferenced quote delimiter)."""
+    pages = _pages(
+        spark,
+        [("https://s.org/d/p", '<a href="it\'s-a-page.html">x</a>'
+                               "<a href='say \"hi\".html'>y</a>")],
+    )
+    got = {r["dst"] for r in link_edges(pages).collect()}
+    assert got == {
+        "https://s.org/d/it's-a-page.html",
+        'https://s.org/d/say "hi".html',
+    }
+
+
 def test_extract_and_weights(spark):
     html = (
         '<html><a href="https://t.org/a">1</a>'
