@@ -18,11 +18,11 @@ aggregations. Every step is deterministic and replayable in ANSI SQL
 
 URL resolution implements the subset of RFC 3986 that dominates web
 corpora — absolute http(s), protocol-relative (``//h/p``), root-relative
-(``/p``), and same-directory relative references — and drops
-non-navigational schemes (javascript/mailto/data/tel) and pure-fragment
-links. Dot-segment normalization (``../``) is intentionally left to a
-dedicated cleaning pass; the resolver keeps them literal (documented
-limit, same choice as many production crawl pipelines' first stage).
+(``/p``), and relative references — drops non-navigational schemes
+(javascript/mailto/data/tel) and pure-fragment links, and removes
+dot-segments (``./``, ``../`` incl. above-root clamping) from the
+resolved path. Remaining canonicalization steps (IDN, percent-encoding
+case) are a documented follow-up.
 """
 
 from __future__ import annotations
@@ -34,12 +34,15 @@ __all__ = [
     "HREF_PATTERN",
     "extract_hrefs",
     "resolve_href",
+    "normalize_dot_segments",
     "link_edges",
     "host_of",
     "host_edges",
     "html_to_text",
     "extract_page_text",
 ]
+
+_DOT_DEPTH = 8  # max nesting of ../ handled per URL (fixed expression)
 
 # href attribute of <a> tags; group 2 = the target (group 1 is the
 # opening quote, backreferenced so an apostrophe inside a double-quoted
@@ -74,6 +77,29 @@ def extract_hrefs(
     )
 
 
+def normalize_dot_segments(url: Column) -> Column:
+    """RFC 3986 dot-segment removal on the PATH of an absolute URL as a
+    fixed chain of regexp passes: ``/./`` collapses, ``/seg/../``
+    cancels, and above-root ``/../`` clamps to ``/`` (browser behaviour).
+    Handles up to ``_DOT_DEPTH`` nesting levels — beyond that the
+    residual dots stay literal (fixed-depth expression by design; crawl
+    URLs virtually never nest deeper). The origin is split off first so
+    ``https://h.org/../x`` clamps instead of eating the host."""
+    origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    tail = F.substr(url, F.length(origin) + 1)
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)  # query/fragment kept
+    rest = F.substr(tail, F.length(path) + 1)
+    for _ in range(_DOT_DEPTH):
+        path = F.regexp_replace(path, r"/\.(/|$)", "/")
+    for _ in range(_DOT_DEPTH):
+        path = F.regexp_replace(path, r"/(?!\.\./)[^/]+/\.\.(/|$)", "/")
+    for _ in range(_DOT_DEPTH):
+        path = F.regexp_replace(path, r"^/\.\.(/|$)", "/")  # clamp
+    return F.when(origin == "", url).otherwise(
+        F.concat(origin, path, rest)
+    )
+
+
 def resolve_href(base: Column, href: Column) -> Column:
     """Absolute target URL for ``href`` found on page ``base``, or NULL
     for non-navigational targets. Fragments are stripped first (links to
@@ -93,7 +119,7 @@ def resolve_href(base: Column, href: Column) -> Column:
     base_dir = F.concat(
         origin, F.when(path_dir == "", F.lit("/")).otherwise(path_dir)
     )
-    return (
+    resolved = (
         F.when(h == "", F.lit(None).cast("string"))
         .when(h.rlike(r"(?i)^(javascript|mailto|data|tel):"), F.lit(None))
         .when(h.rlike(r"(?i)^https?://"), h)
@@ -101,6 +127,7 @@ def resolve_href(base: Column, href: Column) -> Column:
         .when(h.startswith("/"), F.concat(origin, h))
         .otherwise(F.concat(base_dir, h))
     )
+    return normalize_dot_segments(resolved)
 
 
 def link_edges(

@@ -60,6 +60,26 @@ def test_resolve_href_pathless_and_query_bases(spark):
         assert r["r"] == r["want"], (r["r"], r["want"])
 
 
+def test_dot_segment_normalization(spark):
+    """../ and ./ resolve in the path (above-root clamps, query string
+    untouched) — browser/RFC 3986 behaviour."""
+    base = "https://h.org/a/b/c.html"
+    cases = [
+        ("../x.html", "https://h.org/a/x.html"),
+        ("../../x.html", "https://h.org/x.html"),
+        ("../../../x.html", "https://h.org/x.html"),  # above root clamps
+        ("./x.html", "https://h.org/a/b/x.html"),
+        ("d/../x.html", "https://h.org/a/b/x.html"),
+        ("x.html?p=../q", "https://h.org/a/b/x.html?p=../q"),  # query kept
+        ("https://o.org/p/../q.html", "https://o.org/q.html"),  # absolute
+    ]
+    df = spark.createDataFrame(
+        [(base, h, w) for h, w in cases], "base string, href string, want string"
+    ).select("want", resolve_href(F.col("base"), F.col("href")).alias("r"))
+    for r in df.collect():
+        assert r["r"] == r["want"], (r["r"], r["want"])
+
+
 def test_href_mixed_quotes(spark):
     """Regression: an apostrophe inside a double-quoted href must not
     truncate the target (backreferenced quote delimiter)."""
