@@ -40,6 +40,7 @@ __all__ = [
     "streaming_dedup_pages",
     "streaming_token_stats",
     "streaming_sessionize",
+    "streaming_minhash_candidates",
 ]
 
 # the north-rule input table shape (BASELINE.json input_hint)
@@ -112,6 +113,123 @@ def streaming_dedup_pages(
         fp = fp.withWatermark(ts_col, watermark)
         return fp.dropDuplicatesWithinWatermark(["fp"])
     return fp.dropDuplicates(["fp"])
+
+
+def _band_bucket_rows(
+    pages: DataFrame,
+    text_col: str,
+    url_col: str,
+    n: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(url, band, bucket): one row per (page, LSH band), all per-row
+    column algebra — the per-document MinHash signature needs NO
+    aggregation because a document's shingle set is an array expression
+    over its own text (identical md5 family to functions/dedup.py, so
+    streaming and batch bucket keys coincide bit-for-bit)."""
+    toks = tokens_expr(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    grams = F.array_distinct(grams)
+
+    def mh(b: int, r: int):
+        salt = f"{b}:{r}:"
+        return F.array_min(
+            F.transform(grams, lambda g: F.md5(F.concat(F.lit(salt), g)))
+        )
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[mh(b, r) for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return pages.select(
+        F.col(url_col).cast("string").alias("url"),
+        F.explode(keys).alias("bk"),
+    ).select("url", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def streaming_minhash_candidates(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_per_bucket: int = 64,
+    timeout_minutes: float = 24 * 60.0,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-duplicate CANDIDATE pairs over a page
+    stream: ``(doc_a, doc_b, band)`` with doc_a < doc_b, emitted the
+    moment the second member of a bucket collision arrives.
+
+    Signatures/bucket keys are per-row column algebra (no streaming agg),
+    so this composes as ONE stateful operator keyed by (band, bucket):
+    state per bucket is the member list, capped at ``max_per_bucket``
+    (hot boilerplate buckets stop emitting instead of exploding — the
+    streaming analogue of the batch ``max_shingle_freq`` guard) and
+    evicted after ``timeout_minutes`` of bucket inactivity. A pair that
+    collides in k bands is emitted up to k times (dedup downstream with
+    the exact-verify join, exactly like the batch path). With an
+    unsaturated cap, the emitted pair SET equals the batch
+    ``minhash_lsh_pairs(verify_threshold=None)`` candidates."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = _band_bucket_rows(
+        pages, text_col, url_col, n, bands, rows_per_band
+    )
+    out_schema = "doc_a string, doc_b string, band long"
+    state_schema = "members array<string>"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        urls: list[str] = []
+        for pdf in pdf_iter:
+            urls.extend(pdf["url"].tolist())
+        members = list(state.get[0]) if state.exists else []
+        pairs = []
+        for u in urls:
+            if u in members:
+                continue
+            for v in members:
+                a, b = (u, v) if u < v else (v, u)
+                pairs.append((a, b, band))
+            if len(members) < max_per_bucket:
+                members.append(u)
+        state.update((members,))
+        state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        if pairs:
+            yield pd.DataFrame(
+                pairs, columns=["doc_a", "doc_b", "band"]
+            )
+
+    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def streaming_sessionize(

@@ -144,6 +144,52 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert sessions == {("u1", T0, 2, 3.0)}
 
 
+def test_streaming_minhash_candidates_match_batch(spark, tmp_path):
+    """Incremental LSH candidates == the batch minhash_lsh_pairs
+    candidate set (same md5 family, per-row signatures) on the same
+    corpus, modulo per-band duplicates."""
+    from jgtextrank_spark.functions.dedup import minhash_lsh_pairs
+    from jgtextrank_spark.streaming import streaming_minhash_candidates
+
+    texts = {
+        "d1": "the quick brown fox jumps over the lazy dog again today",
+        "d2": "the quick brown fox jumps over the lazy dog again now",
+        "d3": "completely different content about spark streaming state",
+        "d4": "the quick brown fox jumps over the lazy dog again today",
+    }
+    path = str(tmp_path / "mh_pages")
+    spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1), b"", v, "en") for k, v in texts.items()],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(path)
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    ).parquet(path)
+    got = _run(
+        spark,
+        streaming_minhash_candidates(pages, bands=8, rows_per_band=2),
+        "stream_mh",
+        "append",
+    )
+    stream_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+
+    batch_docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            batch_docs, bands=8, rows_per_band=2, verify_threshold=None
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert ("d1", "d4") in stream_pairs  # exact dup always collides
+    assert not any("d3" in p for p in stream_pairs)
+
+
 def test_streaming_edges_running_total(spark, tmp_path):
     """No event-time column: global running (src, dst, weight) aggregate."""
     path = _write_pages(spark, tmp_path)
