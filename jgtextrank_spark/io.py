@@ -20,6 +20,8 @@ __all__ = [
     "read_text_directory",
     "read_binary_archive",
     "export_keywords",
+    "write_bucketed_edges",
+    "read_bucketed_edges",
 ]
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -47,6 +49,38 @@ def read_pages_iceberg(spark: SparkSession, table: str) -> DataFrame:
             "cluster add the iceberg-spark-runtime jar and catalog conf. "
             f"Underlying error: {e}"
         ) from e
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 64,
+    by: tuple[str, ...] = ("src",),
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge table hash-bucketed (and sorted) by its join key.
+
+    Bucketing is the durable form of the in-memory `repartition(N, src)`
+    the superstep solvers rely on: two tables bucketed the same way
+    join/aggregate on the bucket key with ZERO exchange at read time —
+    the co-located-join strategy for edge tables that are read by many
+    jobs (every solver run re-reads the adjacency; paying the shuffle
+    once at write time amortizes it across all of them). Requires a
+    table catalog (saveAsTable); plain parquet files cannot carry bucket
+    metadata."""
+    writer = edges.write.mode(mode).format("parquet").bucketBy(
+        buckets, *by
+    )
+    if sort:
+        writer = writer.sortBy(*by)
+    writer.saveAsTable(table)
+
+
+def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a bucketed edge table; Catalyst sees the bucket spec and
+    drops the exchange for joins/aggregations on the bucket key."""
+    return spark.table(table)
 
 
 def read_text_directory(

@@ -160,6 +160,51 @@ def test_export_and_read(spark, tmp_path):
         read_pages(spark, bad)
 
 
+def test_bucketed_edges_colocated_join(spark, tmp_path):
+    """Bucketed edge tables must join and aggregate on the bucket key
+    with NO exchange — the co-located-join contract that amortizes the
+    adjacency shuffle across solver runs."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from jgtextrank_spark.io import read_bucketed_edges, write_bucketed_edges
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'"
+    )
+    edges = spark.createDataFrame(
+        [(str(i % 7), str(i % 11), 1.0) for i in range(200)],
+        "src string, dst string, weight double",
+    )
+    write_bucketed_edges(edges, "bktdb.edges_a", buckets=4)
+    write_bucketed_edges(edges, "bktdb.edges_b", buckets=4)
+    a = read_bucketed_edges(spark, "bktdb.edges_a")
+    b = read_bucketed_edges(spark, "bktdb.edges_b")
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # force the shuffle-join path (tiny test tables broadcast otherwise,
+    # which sidesteps bucketing entirely — at scale broadcast is off the
+    # table and this is the plan that matters)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "src")
+        assert "Exchange" not in plan_of(joined), plan_of(joined)
+        assert joined.count() > 0
+
+        agg = a.groupBy("src").sum("weight")
+        assert "Exchange" not in plan_of(agg), plan_of(agg)
+        assert agg.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bktdb CASCADE")
+
+
 def test_read_text_directory_whole_files(spark, tmp_path):
     """Regression: one document per FILE even for multi-line files (the
     wholetext flag is only honoured as the text() kwarg, not as a reader
