@@ -367,6 +367,31 @@ def q_web_host_pagerank(spark, sf_dir):
     return scores.select("vertex", F.round("score", 6).alias("score"))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (weblinks.canonicalize_url) over messy
+    synthesized URLs covering every branch: mixed-case scheme/host,
+    default and non-default ports, valid/invalid percent escapes, and a
+    bare trailing '%'. Oracle replays the same algebra in DuckDB with
+    list ops."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("H"), (d % 7).cast("string"), F.lit(".Example.ORG"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/D/"), d.cast("string"), F.lit("%2f"),
+        d.cast("string"), F.lit("%zz/x.html?a=%3a&b=100%"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", canonicalize_url(url).alias("url")
+    )
+
+
 def q_token_count(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.textstats import token_count
@@ -666,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_edges": q_web_link_edges,
         "web_host_pagerank": q_web_host_pagerank,
         "web_text_extract": q_web_text_extract,
+        "url_canonical": q_url_canonical,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -1442,4 +1468,47 @@ FROM ct"""
     d["web_host_pagerank"] = _pagerank_sql_directed(
         PR_ITERS, _WEB_HOST_EDGES
     )
+    # independent replay of canonicalize_url's algebra (scheme/host
+    # lowering, default-port strip, percent-escape hex uppercasing) with
+    # DuckDB list ops instead of Spark higher-order functions
+    d["url_canonical"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'H' || (doc_id % 7)::VARCHAR || '.Example.ORG'
+         || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             WHEN 2 THEN ':8080' ELSE '' END)
+         || '/D/' || doc_id::VARCHAR || '%2f' || doc_id::VARCHAR
+         || '%zz/x.html?a=%3a&b=100%' AS u
+  FROM documents
+),
+org AS (
+  SELECT doc_id, u,
+         regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
+           AS origin
+  FROM raw
+),
+lowered AS (
+  SELECT doc_id,
+         CASE WHEN origin = '' THEN u ELSE
+           regexp_replace(
+             regexp_replace(lower(origin),
+                            '^http://([^:/?#]+):80$', 'http://\1'),
+             '^https://([^:/?#]+):443$', 'https://\1')
+           || substr(u, length(origin) + 1)
+         END AS u
+  FROM org
+),
+parts AS (SELECT doc_id, string_split(u, '%') AS p FROM lowered)
+SELECT doc_id,
+       array_to_string(
+         list_prepend(
+           p[1],
+           list_transform(
+             p[2:],
+             s -> CASE WHEN regexp_matches(s[1:2], '^[0-9a-fA-F]{2}$')
+                       THEN upper(s[1:2]) || s[3:]
+                       ELSE s END)),
+         '%') AS url
+FROM parts"""
     return d

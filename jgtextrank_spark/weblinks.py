@@ -21,20 +21,31 @@ corpora — absolute http(s), protocol-relative (``//h/p``), root-relative
 (``/p``), and relative references — drops non-navigational schemes
 (javascript/mailto/data/tel) and pure-fragment links, and removes
 dot-segments (``./``, ``../`` incl. above-root clamping) from the
-resolved path. Remaining canonicalization steps (IDN, percent-encoding
-case) are a documented follow-up.
+resolved path via the exact RFC 3986 §5.2.4 stack algorithm (one
+``aggregate`` over path segments — no nesting-depth limit, and a single
+small generated method where the previous fixed chain of 24
+``regexp_replace`` passes blew the janino method-size limit and dropped
+the whole projection out of whole-stage codegen).
+``canonicalize_url`` adds scheme/host lowercasing, default-port
+stripping, and percent-escape hex-case normalization; IDN host folding
+needs the punycode algorithm and ships as an Arrow-batched pandas UDF
+(``idn_fold_host``), opt-in.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "HREF_PATTERN",
+    "HREF_PATTERN_UNQUOTED",
     "extract_hrefs",
     "resolve_href",
     "normalize_dot_segments",
+    "canonicalize_url",
+    "idn_fold_host",
     "link_edges",
     "host_of",
     "host_edges",
@@ -42,14 +53,19 @@ __all__ = [
     "extract_page_text",
 ]
 
-_DOT_DEPTH = 8  # max nesting of ../ handled per URL (fixed expression)
-
 # href attribute of <a> tags; group 2 = the target (group 1 is the
 # opening quote, backreferenced so an apostrophe inside a double-quoted
 # href does not truncate the target). Case-insensitive, tolerant of
 # attribute order.
 HREF_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*(["'])([^>]*?)\1"""
 _HREF_GROUP = 2
+
+# Unquoted href values (href=foo.html — common in real crawl HTML): the
+# value starts with a non-quote, non-space, non-'>' character and runs to
+# the next whitespace or tag close. Disjoint from HREF_PATTERN by the
+# leading character class, so the two extraction passes never double-count.
+HREF_PATTERN_UNQUOTED = r"""(?i)<a\s[^>]*href\s*=\s*([^\s"'>][^\s>]*)"""
+_HREF_GROUP_UNQUOTED = 1
 
 
 def _html_str(col, binary: bool) -> Column:
@@ -64,40 +80,63 @@ def extract_hrefs(
     html_is_binary: bool = True,
 ) -> DataFrame:
     """(src_url, href): one row per anchor occurrence (duplicates kept —
-    they carry the link weight)."""
+    they carry the link weight). Quoted and unquoted attribute values are
+    both extracted (two disjoint regexp passes concatenated — anchor
+    ORDER within a page is not preserved across the two classes, which is
+    immaterial: every consumer aggregates)."""
+    h = _html_str(html_col, html_is_binary)
     return pages.select(
         F.col(url_col).alias("src_url"),
         F.explode(
-            F.regexp_extract_all(
-                _html_str(html_col, html_is_binary),
-                F.lit(HREF_PATTERN),
-                F.lit(_HREF_GROUP),
+            F.concat(
+                F.regexp_extract_all(
+                    h, F.lit(HREF_PATTERN), F.lit(_HREF_GROUP)
+                ),
+                F.regexp_extract_all(
+                    h,
+                    F.lit(HREF_PATTERN_UNQUOTED),
+                    F.lit(_HREF_GROUP_UNQUOTED),
+                ),
             )
         ).alias("href"),
     )
 
 
 def normalize_dot_segments(url: Column) -> Column:
-    """RFC 3986 dot-segment removal on the PATH of an absolute URL as a
-    fixed chain of regexp passes: ``/./`` collapses, ``/seg/../``
-    cancels, and above-root ``/../`` clamps to ``/`` (browser behaviour).
-    Handles up to ``_DOT_DEPTH`` nesting levels — beyond that the
-    residual dots stay literal (fixed-depth expression by design; crawl
-    URLs virtually never nest deeper). The origin is split off first so
+    """RFC 3986 §5.2.4 dot-segment removal on the PATH of an absolute
+    URL: ``/./`` collapses, ``/seg/../`` cancels, and above-root ``/../``
+    clamps to ``/`` (browser behaviour). Implemented as the exact stack
+    algorithm — ONE ``aggregate`` over the ``/``-split segments (``.``
+    skipped, ``..`` pops, anything else pushed) — so arbitrary nesting
+    depth resolves and the whole resolver stays inside a single small
+    whole-stage-codegen method. A trailing ``.``/``..`` segment yields a
+    trailing slash, and empty segments (``//``) are ordinary stack
+    entries, both per the RFC. The origin is split off first so
     ``https://h.org/../x`` clamps instead of eating the host."""
     origin = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
     tail = F.substr(url, F.length(origin) + 1)
     path = F.regexp_extract(tail, r"^([^?#]*)", 1)  # query/fragment kept
     rest = F.substr(tail, F.length(path) + 1)
-    for _ in range(_DOT_DEPTH):
-        path = F.regexp_replace(path, r"/\.(/|$)", "/")
-    for _ in range(_DOT_DEPTH):
-        path = F.regexp_replace(path, r"/(?!\.\./)[^/]+/\.\.(/|$)", "/")
-    for _ in range(_DOT_DEPTH):
-        path = F.regexp_replace(path, r"^/\.\.(/|$)", "/")  # clamp
-    return F.when(origin == "", url).otherwise(
-        F.concat(origin, path, rest)
+    segs = F.split(path, "/")  # absolute path ⇒ segs[0] == ""
+    stack = F.aggregate(
+        F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
     )
+    # a trailing '.'/'..' input segment leaves a trailing '/' in the output
+    stack = F.when(
+        F.element_at(segs, -1).isin(".", ".."),
+        F.concat(stack, F.array(F.lit(""))),
+    ).otherwise(stack)
+    npath = F.when(path == "", F.lit("")).otherwise(
+        F.concat(F.lit("/"), F.array_join(stack, "/"))
+    )
+    return F.when(origin == "", url).otherwise(F.concat(origin, npath, rest))
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -150,6 +189,76 @@ def link_edges(
     return resolved.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("double").alias("weight")
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Scheme-based URL canonicalization beyond dot-segments, as pure
+    column algebra (JVM-side, DuckDB-replayable):
+
+    * scheme + host lowercased (``HTTP://Ex.Org/P`` → ``http://ex.org/P``
+      — path case is significant and kept),
+    * default ports stripped (``http://h:80/`` → ``http://h/``,
+      ``https://h:443/`` → ``https://h/``),
+    * percent-escape hex uppercased (``%2f`` → ``%2F``, RFC 3986 §6.2.2.1)
+      — only for valid two-hex-digit escapes, so a literal ``100%`` stays.
+
+    IDN (punycode) host folding needs the RFC 3492 algorithm — see
+    :func:`idn_fold_host` (Arrow-batched pandas UDF, opt-in)."""
+    origin = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    rest = F.substr(url, F.length(origin) + 1)
+    o = F.lower(origin)
+    o = F.regexp_replace(o, r"^http://([^:/?#]+):80$", r"http://$1")
+    o = F.regexp_replace(o, r"^https://([^:/?#]+):443$", r"https://$1")
+    u = F.when(origin == "", url).otherwise(F.concat(o, rest))
+    # uppercase the two hex digits after each '%' (valid escapes only)
+    parts = F.split(u, "%")
+    fixed = F.concat(
+        F.slice(parts, 1, 1),
+        F.transform(
+            F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+            lambda s: F.when(
+                F.substring(s, 1, 2).rlike("^[0-9a-fA-F]{2}$"),
+                F.concat(
+                    F.upper(F.substring(s, 1, 2)), F.substr(s, F.lit(3))
+                ),
+            ).otherwise(s),
+        ),
+    )
+    return F.array_join(fixed, "%")
+
+
+def idn_fold_host(url: Column) -> Column:
+    """Punycode (IDNA) folding of the HOST component: a Unicode host like
+    ``https://bücher.example/x`` becomes ``https://xn--bcher-kva.example/x``
+    so the two spellings are one vertex. The RFC 3492 bootstring encoding
+    is not expressible as column algebra, so this is the one opt-in
+    Arrow-batched pandas UDF in the link path (vectorized per batch — not
+    per-row Python); hosts that fail IDNA encoding pass through
+    unchanged. Apply AFTER :func:`canonicalize_url` (it assumes a
+    lowercase host)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(urls: pd.Series) -> pd.Series:
+        import re
+
+        rx = re.compile(r"^([a-z][a-z0-9+.-]*://)([^/?#:]+)(.*)$", re.S)
+
+        def one(u):
+            if u is None:
+                return None
+            m = rx.match(u)
+            if not m or m.group(2).isascii():
+                return u
+            try:
+                host = m.group(2).encode("idna").decode("ascii")
+            except UnicodeError:
+                return u
+            return m.group(1) + host + m.group(3)
+
+        return urls.map(one)
+
+    return _fold(url)
 
 
 def host_of(col) -> Column:

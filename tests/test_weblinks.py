@@ -80,6 +80,84 @@ def test_dot_segment_normalization(spark):
         assert r["r"] == r["want"], (r["r"], r["want"])
 
 
+def test_dot_segment_deep_nesting(spark):
+    """The stack algorithm has no depth limit (the old fixed-depth regexp
+    chain handled 8 levels): 12 levels of ../ cancel exactly, and above
+    root it clamps."""
+    deep = "/".join(["d%d" % i for i in range(12)])
+    base = f"https://h.org/{deep}/page.html"
+    up12 = "../" * 12 + "x.html"
+    up20 = "../" * 20 + "x.html"
+    cases = [
+        (up12, "https://h.org/x.html"),
+        (up20, "https://h.org/x.html"),  # clamps above root
+        ("a/./b/../c/./../d.html", f"https://h.org/{deep}/a/d.html"),
+        ("a/..", f"https://h.org/{deep}/"),  # trailing .. ⇒ trailing /
+        ("a/.", f"https://h.org/{deep}/a/"),
+        ("a//../b.html", f"https://h.org/{deep}/a/b.html"),  # '..' pops ''
+        ("a//b.html", f"https://h.org/{deep}/a//b.html"),  # '//' kept
+    ]
+    df = spark.createDataFrame(
+        [(base, h, w) for h, w in cases],
+        "base string, href string, want string",
+    ).select("want", resolve_href(F.col("base"), F.col("href")).alias("r"))
+    for r in df.collect():
+        assert r["r"] == r["want"], (r["r"], r["want"])
+
+
+def test_unquoted_hrefs(spark):
+    """href=foo.html (no quotes) — common in real crawl HTML — must land
+    in the link graph alongside quoted anchors."""
+    html = (
+        '<a href=rel.html>u</a><a href = /root.html class=x>v</a>'
+        '<a href="q.html">w</a><a href=https://t.org/abs>z</a>'
+    )
+    pages = _pages(spark, [("https://s.org/d/p", html)])
+    got = {r["dst"] for r in link_edges(pages).collect()}
+    assert got == {
+        "https://s.org/d/rel.html",
+        "https://s.org/root.html",
+        "https://s.org/d/q.html",
+        "https://t.org/abs",
+    }
+
+
+def test_canonicalize_url(spark):
+    from jgtextrank_spark.weblinks import canonicalize_url
+
+    cases = [
+        ("HTTP://Ex.Org/KeepCase/P?Q=V", "http://ex.org/KeepCase/P?Q=V"),
+        ("http://h.org:80/a", "http://h.org/a"),
+        ("https://h.org:443/a", "https://h.org/a"),
+        ("https://h.org:8443/a", "https://h.org:8443/a"),  # non-default kept
+        ("https://h.org/a%2fb%3A?x=%2f", "https://h.org/a%2Fb%3A?x=%2F"),
+        ("https://h.org/100%-legit", "https://h.org/100%-legit"),  # no escape
+        ("https://h.org/%zz", "https://h.org/%zz"),  # invalid escape kept
+        ("not-a-url", "not-a-url"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string").select(
+        "want", canonicalize_url(F.col("u")).alias("r")
+    )
+    for r in df.collect():
+        assert r["r"] == r["want"], (r["r"], r["want"])
+
+
+def test_idn_fold_host(spark):
+    from jgtextrank_spark.weblinks import idn_fold_host
+
+    cases = [
+        ("https://bücher.example/x?ü=1", "https://xn--bcher-kva.example/x?ü=1"),
+        ("https://ascii.org/ü", "https://ascii.org/ü"),  # ascii host untouched
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "u string"
+    ).select("u", idn_fold_host(F.col("u")).alias("r"))
+    got = {r["u"]: r["r"] for r in df.collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
 def test_href_mixed_quotes(spark):
     """Regression: an apostrophe inside a double-quoted href must not
     truncate the target (backreferenced quote delimiter)."""
