@@ -114,6 +114,30 @@ def bench_cc_star_contraction(
     }
 
 
+def bench_coreness_hindex(
+    spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000
+) -> dict:
+    """h-index core decomposition on the 2M-edge power-law graph — the
+    superstep-harness scale path (constant per-round plan shape), vs the
+    old k-by-k peeling whose round count grows with k_max."""
+    from jgtextrank_spark.algos.centrality import core_numbers_hindex_result
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    res = core_numbers_hindex_result(edges, checkpoint_every=0)
+    wall = time.time() - t0
+    max_core = res.state.agg(F.max("h").alias("m")).collect()[0]["m"]
+    edges.unpersist()
+    return {
+        "vertices": n_vertices,
+        "rounds": res.iterations,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "max_core": max_core,
+    }
+
+
 def bench_salted_pagerank(
     spark: SparkSession, edges: DataFrame, iters: int = 5
 ) -> dict:
@@ -228,6 +252,10 @@ def main() -> None:
     cc_contract = bench_cc_star_contraction(spark)
     queries["cc_star_powerlaw_2m"] = cc_contract["wall_sec"]
 
+    # k-core on the same power-law scale (superstep-harness h-index path)
+    kcore = bench_coreness_hindex(spark)
+    queries["coreness_hindex_powerlaw_2m"] = kcore["wall_sec"]
+
     # engine queries over the sf tables
     timed(
         "pagerank_docs_20it",
@@ -288,6 +316,7 @@ def main() -> None:
             "salted_pagerank_mean_superstep_sec": salted,
             "cc_star_chain": cc_star,
             "cc_star_contraction": cc_contract,
+            "coreness_hindex": kcore,
         },
     }
     print(json.dumps(out))

@@ -166,6 +166,154 @@ def core_numbers(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     checkpoint_every: int = 8,
+    algorithm: str = "hindex",
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """k-core decomposition: (vertex, core). Self-loops removed first,
+    mirroring the reference (core.py:843-846); matches nx.core_number.
+
+    ``algorithm="hindex"`` (default, the scale path): the distributed
+    H-operator iteration on the superstep harness — see
+    :func:`core_numbers_hindex_result`. ``algorithm="peel"``: k-by-k
+    peeling (kept for cross-checking; its round count grows with k_max
+    and it runs outside the harness)."""
+    if algorithm == "hindex":
+        res = core_numbers_hindex_result(
+            edges,
+            vertices,
+            max_iter=max_iter,
+            checkpoint_every=checkpoint_every,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+        )
+        return res.state.select("vertex", F.col("h").alias("core"))
+    if algorithm != "peel":
+        raise ValueError(f"unknown core_numbers algorithm: {algorithm!r}")
+    return _core_numbers_peel(edges, vertices, checkpoint_every)
+
+
+def core_numbers_hindex_result(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+):
+    """Core numbers via the distributed h-index iteration (Lü et al. 2016:
+    repeatedly replacing h(v), initialized to deg(v), with the H-operator
+    over the neighbours' h-values converges to the core numbers) on the
+    superstep harness — checkpoint/resume/metrics for free, and a
+    constant per-round plan shape instead of peeling's O(k_max + rounds)
+    driver loop.
+
+    Per superstep (state = (vertex, h)):
+
+    1. join h onto the u-partitioned adjacency (adj cached partitioned by
+       ``u``, so only the small state shuffles),
+    2. ``groupBy(v, h_u)`` with map-side combine — the one edge-sized
+       exchange, compressed to distinct neighbour-values per vertex,
+    3. join h(v) on ``v`` and compute the H-operator with ONE cumulative
+       window over the compressed rows: sorted by h_u desc,
+       h_new = max(min(h_u, h_v, #neighbours with value >= h_u)) — the
+       h_v clip folds ties above h(v) without a re-aggregation, and the
+       final groupBy reuses the window's v-partitioning (no extra
+       exchange). Hub skew is bounded: window rows per vertex <= distinct
+       neighbour h-values, not degree.
+
+    Convergence: h is monotone non-increasing; stop when no vertex
+    changes. Round count is O(graph diameter) in the worst case (path
+    graphs: the endpoint h=1 propagates one hop per round) and a handful
+    in practice on power-law web graphs. Returns the SuperstepResult with
+    state (vertex, h) (+ a ``prev`` bookkeeping column)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .repartition(num_partitions, "u")
+        .persist()
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("h"))
+    init = (
+        _vertices(edges, vertices)
+        .join(deg.select(F.col("v").alias("vertex"), "h"), "vertex", "left")
+        .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+    )
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        hu = state.select(F.col("vertex").alias("u"), F.col("h").alias("h_u"))
+        hv = state.select(F.col("vertex").alias("v"), F.col("h").alias("h_v"))
+        grp = (
+            adj.join(hu, "u")
+            .groupBy("v", "h_u")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        w = (
+            Window.partitionBy("v")
+            .orderBy(F.col("h_u").desc())
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        hnew = (
+            grp.join(hv, "v")
+            .select(
+                "v",
+                F.least(
+                    F.least("h_u", "h_v"), F.sum("n").over(w)
+                ).alias("k"),
+            )
+            .groupBy("v")
+            .agg(F.max("k").alias("h_new"))
+        )
+        new_state = state.join(
+            hnew, state["vertex"] == hnew["v"], "left"
+        ).select(
+            "vertex",
+            F.coalesce("h_new", F.lit(0)).cast("long").alias("h"),
+            state["h"].alias("prev"),
+        )
+        new_state = new_state.persist()
+        changed = new_state.agg(
+            F.sum(
+                F.when(F.col("h") != F.col("prev"), 1).otherwise(0)
+            ).alias("c")
+        ).collect()[0]["c"]
+        return new_state, float(changed or 0)
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        label="core_numbers_hindex",
+    )
+    adj.unpersist()
+    return result
+
+
+def _core_numbers_peel(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """k-core decomposition by distributed peeling: (vertex, core).
 

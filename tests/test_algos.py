@@ -333,14 +333,43 @@ def test_triangle_simple(spark):
 
 # -------------------------------------------------------------------- k-core
 @pytest.mark.parametrize("seed,n,m", [(7, 22, 55), (9, 25, 38)])
-def test_core_numbers(spark, seed, n, m):
+@pytest.mark.parametrize("algorithm", ["hindex", "peel"])
+def test_core_numbers(spark, seed, n, m, algorithm):
     edges = _rand_graph(seed=seed, n=n, m=m)
     df = _edges_df(spark, edges)
     G = _nx_graph(edges)
     G.remove_edges_from(nx.selfloop_edges(G))
     want = nx.core_number(G)
-    got = {r["vertex"]: r["core"] for r in core_numbers(df).collect()}
+    got = {
+        r["vertex"]: r["core"]
+        for r in core_numbers(df, algorithm=algorithm).collect()
+    }
     assert got == want
+
+
+def test_core_numbers_hindex_shapes(spark):
+    """h-index coreness on adversarial shapes: a chain (all core 1), a
+    clique + pendant, self-loops ignored, and an isolated vertex via the
+    vertices arg."""
+    from jgtextrank_spark.algos.centrality import core_numbers_hindex_result
+
+    chain = [(i, i + 1) for i in range(30)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges = chain + clique + [(104, 200), (200, 200)]  # pendant + self-loop
+    df = _edges_df(spark, edges)
+    verts = spark.createDataFrame([("999",)], "id string")
+    res = core_numbers_hindex_result(df, verts)
+    got = {r["vertex"]: r["h"] for r in res.state.collect()}
+    G = _nx_graph(edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = nx.core_number(G)
+    want["999"] = 0
+    assert got == want
+    assert res.converged
+    # path graphs are the H-operator's worst case: endpoint h=1 values
+    # propagate inward one hop per round (~diameter/2 rounds; power-law
+    # graphs converge in a handful) — every round is one constant-shape job
+    assert res.iterations <= len(chain) // 2 + 2
 
 
 # --------------------------------------------------- degree family + tergraph
