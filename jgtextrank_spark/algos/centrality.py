@@ -188,7 +188,10 @@ def core_numbers(
             checkpoint_dir=checkpoint_dir,
             resume=resume,
         )
-        return res.state.select("vertex", F.col("h").alias("core"))
+        # int core numbers, matching the peeling path's output schema
+        return res.state.select(
+            "vertex", F.col("h").cast("int").alias("core")
+        )
     if algorithm != "peel":
         raise ValueError(f"unknown core_numbers algorithm: {algorithm!r}")
     return _core_numbers_peel(edges, vertices, checkpoint_every)
@@ -398,6 +401,13 @@ def hits(
 
     nx _hits_python parity. ``edges`` directed; pass symmetrize(...) for the
     undirected co-occurrence graph.
+
+    Convergence is detected with a ONE-SUPERSTEP LAG (the price of the
+    fused single-aggregate superstep): scores still match nx exactly, but
+    a run that would converge precisely at ``max_iter`` is reported
+    ``converged=False`` in the metrics, and every converged run spends
+    one extra superstep whose map work is discarded — pass ``max_iter+1``
+    if the flag itself matters at the boundary.
     """
     spark = edges.sparkSession
     if num_partitions is None:

@@ -20,10 +20,57 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "exact_jaccard_for_pairs",
     "simhash",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
 ]
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for an explicit candidate-pair table:
+    ``(doc_a, doc_b)`` -> ``(doc_a, doc_b, jaccard)``. The verify stage
+    shared by the batch LSH path and the streaming candidate stream
+    (foreachBatch) — linear in the candidate count, never all-pairs."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sh = shingles(d, "text", n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -73,9 +73,17 @@ def evaluate_results(
 ) -> DataFrame:
     """P/R/F1 overall + at top-k cutoffs (example_utility.py:320-405).
     Returns DataFrame (cutoff, precision, recall, f1); cutoff=-1 is the
-    full prediction list. One pass per cutoff over a cached ranked list."""
-    spark = gold.sparkSession
+    full prediction list.
+
+    SINGLE distributed pass regardless of #cutoffs: distinct terms with
+    their first-occurrence rank (one aggregation — a term is inside
+    cutoff k iff min rank <= k, matching the old filter-then-distinct
+    semantics), one broadcast left join for gold membership, then ONE
+    aggregate with two conditional sums per cutoff. Two driver actions
+    total (that agg + the gold count) where the old loop ran two per
+    cutoff (~32 jobs at the reference's 16 cutoffs)."""
     cutoffs = cutoffs or DEFAULT_CUTOFFS
+    spark = gold.sparkSession
     if pred_rank_col is None:
         w = Window.orderBy(F.desc(pred_score_col), F.asc(pred_term_col))
         ranked = ranked_predictions.withColumn(
@@ -84,19 +92,38 @@ def evaluate_results(
         pred_rank_col = "_rank"
     else:
         ranked = ranked_predictions
-    g = _norm(gold, "term").persist()
-    ranked = ranked.select(
-        normalise_term(pred_term_col).alias("term"),
-        F.col(pred_rank_col).alias("rank"),
-    ).where(F.col("term") != "").persist()
+    g = _norm(gold, "term")
+    m = (
+        ranked.select(
+            normalise_term(pred_term_col).alias("term"),
+            F.col(pred_rank_col).alias("rank"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("rank").alias("rank"))
+    )
+    j = m.join(
+        F.broadcast(g.select("term", F.lit(1).alias("in_gold"))),
+        "term",
+        "left",
+    ).select("rank", F.coalesce("in_gold", F.lit(0)).alias("in_gold"))
+    aggs = [
+        F.count(F.lit(1)).alias("np_all"),
+        F.sum("in_gold").alias("ni_all"),
+    ]
+    for i, k in enumerate(cutoffs):
+        within = F.when(F.col("rank") <= k, 1).otherwise(0)
+        aggs.append(F.sum(within).alias(f"np_{i}"))
+        aggs.append(F.sum(within * F.col("in_gold")).alias(f"ni_{i}"))
+    stats = j.agg(*aggs).collect()[0]
     n_gold = g.count()
 
     rows = []
-    for k in [-1] + list(cutoffs):
-        subset = ranked if k < 0 else ranked.filter(F.col("rank") <= k)
-        subset = subset.select("term").distinct()
-        n_pred = subset.count()
-        inter = subset.join(g, "term", "left_semi").count()
+    for key, k in [("all", -1)] + [
+        (str(i), k) for i, k in enumerate(cutoffs)
+    ]:
+        n_pred = stats[f"np_{key}"] or 0
+        inter = stats[f"ni_{key}"] or 0
         p = round(inter / n_pred, 3) if n_pred else 0.0
         r = round(inter / n_gold, 3) if n_gold else 0.0
         rows.append((k, p, r, f1_score(p, r)))

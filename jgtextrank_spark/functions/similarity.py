@@ -68,6 +68,64 @@ def cosine_topk(
     )
 
 
+def _kmeans_round(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration on the (tiny) centroid table: broadcast-assign
+    every corpus vector to its nearest centroid (cosine, max-struct
+    tie-break — identical semantics to the final IVF assignment), then
+    per-dim mean per cluster (posexplode + groupBy(cluster, dim), linear).
+    Empty clusters keep their previous centroid. The updated table is
+    collected to the driver (n_centroids x dim scalars — the same size
+    class as a superstep scalar) so each round's lineage stays flat."""
+    scored = c.join(F.broadcast(cents)).select(
+        "n_id",
+        "n_vec",
+        F.round(_cosine("n_vec", "c_vec", "n_nrm", "c_nrm"), 6).alias("cs"),
+        "c_id",
+    )
+    asg = (
+        scored.groupBy("n_id")
+        .agg(
+            F.first("n_vec").alias("n_vec"),
+            F.max(F.struct("cs", "c_id")).alias("best"),
+        )
+        .select(F.col("best.c_id").alias("c_id"), "n_vec")
+    )
+    means = (
+        asg.select("c_id", F.posexplode("n_vec").alias("dim", "v"))
+        .groupBy("c_id", "dim")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("c_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("new_vec")
+        )
+    )
+    spark = c.sparkSession
+    rows = (
+        cents.join(means, "c_id", "left")
+        .select(
+            "c_id",
+            F.coalesce("new_vec", "c_vec").alias("c_vec"),
+        )
+        .collect()
+    )
+    out = spark.createDataFrame(
+        [(r["c_id"], r["c_vec"]) for r in rows],
+        schema=cents.select("c_id", "c_vec").schema,  # keep the id type
+    )
+    return out.select(
+        "c_id",
+        "c_vec",
+        F.sqrt(
+            F.aggregate(
+                F.col("c_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("c_nrm"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,10 +134,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 2,
+    broadcast_probes: bool | int = True,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted-listed
     under their nearest coarse centroid; each query probes only its
     ``n_probe`` nearest lists, then ranks candidates by exact cosine.
+
+    ``broadcast_probes`` controls the probe-side join strategy: ``True``
+    broadcasts the (query x n_probe) probe table — right for the common
+    small-query-set case but it ships every query VECTOR to every
+    executor, so a huge query set blows the broadcast budget; ``False``
+    shuffle-joins on ``cluster`` instead (both sides hash-partitioned —
+    the right plan when queries are themselves corpus-scale); an ``int``
+    is a row-count threshold (one cheap count against the query table
+    picks the strategy).
 
     Coarse centroids are a DETERMINISTIC seeded sample (the
     ``n_centroids`` corpus vectors with smallest md5(id)) so the whole
@@ -87,9 +156,18 @@ def ivf_topk(
     DuckDB. Assignment ties break on rounded cosine then LARGEST centroid
     id (max-struct semantics). Expected candidates per probe ≈
     corpus/n_centroids; at scale, assignment is a broadcast of the tiny
-    centroid table against the corpus (map-side), the inverted lists are
-    a hash partition by cluster, and a k-means refinement pass would
-    slot in between (centroid update = one groupBy(cluster, dim) mean)."""
+    centroid table against the corpus (map-side), and the inverted lists
+    are a hash partition by cluster.
+
+    ``kmeans_iters`` runs that many Lloyd refinement rounds on the seeded
+    centroids before building the lists (still fully deterministic —
+    deterministic init, cosine assignment with the same max-struct
+    tie-break, per-dim mean update; empty clusters keep their previous
+    centroid). Each round is one broadcast assignment + one
+    ``groupBy(cluster, dim)`` mean — linear passes, no all-pairs. The
+    refined centroids land closer to the data's modes, which balances the
+    inverted lists and lifts recall at the same ``n_probe`` (measured vs
+    the exact oracle in tests/test_functions.py)."""
     c = _norm_cols(corpus, id_col, vec_col, "n")
     cents = (
         c.select(
@@ -102,6 +180,8 @@ def ivf_topk(
         .limit(n_centroids)
         .drop("h")
     )
+    for _ in range(kmeans_iters):
+        cents = _kmeans_round(c, cents)
     n_scored = c.join(F.broadcast(cents)).select(
         "n_id",
         "n_vec",
@@ -134,7 +214,12 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("cluster"))
     )
-    cand = assign.join(F.broadcast(probes), "cluster").filter(
+    if isinstance(broadcast_probes, bool):
+        do_broadcast = broadcast_probes
+    else:
+        do_broadcast = queries.count() <= int(broadcast_probes)
+    probe_side = F.broadcast(probes) if do_broadcast else probes
+    cand = assign.join(probe_side, "cluster").filter(
         F.col("q_id") != F.col("n_id")
     )
     scored = cand.select(

@@ -41,6 +41,7 @@ __all__ = [
     "streaming_token_stats",
     "streaming_sessionize",
     "streaming_minhash_candidates",
+    "streaming_minhash_verified_writer",
 ]
 
 # the north-rule input table shape (BASELINE.json input_hint)
@@ -179,14 +180,21 @@ def streaming_minhash_candidates(
 
     Signatures/bucket keys are per-row column algebra (no streaming agg),
     so this composes as ONE stateful operator keyed by (band, bucket):
-    state per bucket is the member list, capped at ``max_per_bucket``
-    (hot boilerplate buckets stop emitting instead of exploding — the
-    streaming analogue of the batch ``max_shingle_freq`` guard) and
-    evicted after ``timeout_minutes`` of bucket inactivity. A pair that
-    collides in k bands is emitted up to k times (dedup downstream with
-    the exact-verify join, exactly like the batch path). With an
-    unsaturated cap, the emitted pair SET equals the batch
-    ``minhash_lsh_pairs(verify_threshold=None)`` candidates."""
+    state per bucket is the member list, capped at ``max_per_bucket``,
+    plus a bounded FIFO set of seen-but-unadmitted urls (the streaming
+    analogue of the batch ``max_shingle_freq`` guard). Saturation
+    semantics, precisely: a url arriving at a FULL bucket still emits its
+    pairs against the admitted members ONCE, is then remembered in the
+    overflow set so re-arrivals don't re-emit, but is never admitted —
+    pairs between two post-cap urls are NOT emitted (bounded-state recall
+    loss on hot boilerplate buckets, by design). The overflow set is
+    FIFO-bounded at ``4 * max_per_bucket``; a url evicted from it that
+    re-arrives re-emits its member pairs (dedup downstream, same as the
+    per-band duplicates). Buckets are evicted after ``timeout_minutes``
+    of inactivity. A pair that collides in k bands is emitted up to k
+    times (dedup downstream with the exact-verify join, exactly like the
+    batch path). With an unsaturated cap, the emitted pair SET equals the
+    batch ``minhash_lsh_pairs(verify_threshold=None)`` candidates."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -194,7 +202,8 @@ def streaming_minhash_candidates(
         pages, text_col, url_col, n, bands, rows_per_band
     )
     out_schema = "doc_a string, doc_b string, band long"
-    state_schema = "members array<string>"
+    state_schema = "members array<string>, overflow array<string>"
+    overflow_cap = 4 * max_per_bucket
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -206,17 +215,24 @@ def streaming_minhash_candidates(
         urls: list[str] = []
         for pdf in pdf_iter:
             urls.extend(pdf["url"].tolist())
-        members = list(state.get[0]) if state.exists else []
+        if state.exists:
+            members, overflow = (list(c) for c in state.get)
+        else:
+            members, overflow = [], []
         pairs = []
         for u in urls:
-            if u in members:
+            if u in members or u in overflow:
                 continue
             for v in members:
                 a, b = (u, v) if u < v else (v, u)
                 pairs.append((a, b, band))
             if len(members) < max_per_bucket:
                 members.append(u)
-        state.update((members,))
+            else:
+                overflow.append(u)
+                if len(overflow) > overflow_cap:
+                    overflow.pop(0)
+        state.update((members, overflow))
         state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         if pairs:
             yield pd.DataFrame(
@@ -232,6 +248,62 @@ def streaming_minhash_candidates(
     )
 
 
+def streaming_minhash_verified_writer(
+    pages: DataFrame,
+    docs_store: DataFrame,
+    output_fn,
+    text_col: str = "text",
+    url_col: str = "url",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_per_bucket: int = 64,
+    verify_threshold: float = 0.7,
+    store_id_col: str = "url",
+    store_text_col: str = "text",
+):
+    """Stream-side verify stage for the MinHash-LSH candidates: candidate
+    pairs from :func:`streaming_minhash_candidates` are exact-Jaccard
+    verified per microbatch against a (static or periodically refreshed)
+    page store via ``foreachBatch`` + the batch verify join
+    (``dedup.exact_jaccard_for_pairs`` — the same expressions, so
+    streaming-verified pairs equal ``minhash_lsh_pairs(verify_threshold=
+    t)`` on the same corpus).
+
+    ``output_fn(verified_df, batch_id)`` receives each microbatch's
+    verified ``(doc_a, doc_b, jaccard)`` rows (already
+    ``>= verify_threshold``); write them to the sink of your choice.
+    Candidates are deduplicated WITHIN a microbatch (band collisions);
+    a pair straddling two microbatches via different bands can be
+    verified twice — sinks needing exactly-once should upsert on
+    (doc_a, doc_b). Pairs whose members are missing from the store are
+    dropped (verify again after the next store refresh).
+
+    Returns the configured ``DataStreamWriter`` — call
+    ``.trigger(...).start()`` (and manage checkpointLocation) yourself."""
+    from .functions.dedup import exact_jaccard_for_pairs
+
+    cands = streaming_minhash_candidates(
+        pages,
+        text_col=text_col,
+        url_col=url_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_per_bucket=max_per_bucket,
+    )
+
+    def _verify(batch_df: DataFrame, batch_id: int) -> None:
+        uniq = batch_df.select("doc_a", "doc_b").distinct()
+        verified = exact_jaccard_for_pairs(
+            uniq, docs_store, id_col=store_id_col,
+            text_col=store_text_col, n=n,
+        ).filter(F.col("jaccard") >= verify_threshold)
+        output_fn(verified, batch_id)
+
+    return cands.writeStream.foreachBatch(_verify).outputMode("append")
+
+
 def streaming_sessionize(
     events: DataFrame,
     key_col: str = "user_id",
@@ -240,14 +312,27 @@ def streaming_sessionize(
     gap_minutes: float = 30.0,
     watermark: str = "1 hour",
     timeout_minutes: float = 60.0,
+    timeout_mode: str = "processing",
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     gap-based sessionization of an event stream. A session for a key
     closes when no event arrives within ``gap_minutes`` of its last event
-    (decided via processing-time timeout once the stream goes quiet for
-    that key) — the canonical "operator Spark's built-ins can't express
-    as a plain windowed agg" (session windows with per-key custom state
-    and arbitrary per-session aggregates).
+    — the canonical "operator Spark's built-ins can't express as a plain
+    windowed agg" (session windows with per-key custom state and
+    arbitrary per-session aggregates).
+
+    How a quiet key's trailing session closes depends on
+    ``timeout_mode``:
+
+    * ``"processing"``: a wall-clock timeout of ``timeout_minutes`` after
+      the key's last activity — simple, but a session on a quiet key
+      closes when the OPERATOR has been idle, not when the data says the
+      gap elapsed (replays close sessions at replay speed).
+    * ``"event"``: an event-time timeout at ``session_end + gap`` — the
+      session closes exactly when the WATERMARK passes its gap, i.e.
+      deterministically from data time, independent of arrival order and
+      wall clock (the usual session-window semantics). Requires the
+      watermark (always set here).
 
     Emits one row per CLOSED session:
     ``(key, session_start, session_end, n_events, sum_value)``.
@@ -256,6 +341,9 @@ def streaming_sessionize(
     import pandas as pd  # noqa: F401  (imported for the worker closure)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"unknown timeout_mode: {timeout_mode!r}")
+    event_time = timeout_mode == "event"
     gap_ms = int(gap_minutes * 60 * 1000)
     out_schema = (
         f"key string, session_start timestamp, session_end timestamp, "
@@ -312,7 +400,14 @@ def streaming_sessionize(
                 # session can predate its recorded start
                 start = min(start, t)
             state.update((start, last, n, total))
-            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+            if event_time:
+                # close when the watermark passes the gap after the last
+                # event; the timestamp must lead the current watermark
+                state.setTimeoutTimestamp(
+                    max(last + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -331,7 +426,11 @@ def streaming_sessionize(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -48,7 +48,11 @@ def parse_args(argv=None):
     p.add_argument("--host-graph", action="store_true",
                    help="roll the page graph up to hosts first")
     p.add_argument("--window", type=int, default=2)
-    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument(
+        "--max-iter", type=int, default=None,
+        help="superstep cap (default: 100; 20 for labelprop, whose "
+        "sequential-spec unrolled oracle uses 20 supersteps)",
+    )
     p.add_argument("--tol", type=float, default=1.0e-6)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=10)
@@ -61,7 +65,12 @@ def parse_args(argv=None):
         "--edges inputs are DIRECTED; only the co-occurrence source is "
         "symmetrized implicitly.",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.max_iter is None:
+        # labelprop's default matches the 20-superstep unrolled oracle; an
+        # explicit --max-iter is always honored (no silent clamping)
+        args.max_iter = 20 if args.algo == "labelprop" else 100
+    return args
 
 
 def build_edges(spark, args):
@@ -129,7 +138,7 @@ def run(spark, args) -> dict:
         from jgtextrank_spark.algos.labelprop import label_propagation
 
         out = label_propagation(
-            edges, max_iter=min(args.max_iter, 20),
+            edges, max_iter=args.max_iter,
             encode_ids=args.encode_ids,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,

@@ -187,6 +187,49 @@ def test_ivf_topk_recall(spark):
     assert {tuple(r) for r in again} == {tuple(r) for r in got}
 
 
+def test_ivf_kmeans_refinement_recall(spark):
+    """Lloyd refinement (kmeans_iters>0): still deterministic, still
+    recovers the planted near-dup, and recall@k vs the exact oracle does
+    not drop below the seeded-sample index (measured, per VERDICT r2)."""
+    from jgtextrank_spark.functions.similarity import ivf_topk
+
+    emb, _ = _mkemb(spark, n=60)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact_by_q = {}
+    for r in cosine_topk(emb, queries, k=3).collect():
+        exact_by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    def recall(iters):
+        got = ivf_topk(
+            emb, queries, k=3, n_centroids=8, n_probe=2,
+            kmeans_iters=iters,
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits = sum(
+            len(by_q.get(q, set()) & s) for q, s in exact_by_q.items()
+        )
+        return by_q, hits / sum(len(s) for s in exact_by_q.values())
+
+    by_q0, r0 = recall(0)
+    by_q2, r2 = recall(2)
+    assert 1 in by_q2[0]  # planted near-dup still recovered
+    assert r2 >= r0  # refinement must not cost recall on this corpus
+    assert r2 >= 0.5
+    # determinism of the refined index: identical re-run
+    a = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2,
+                 kmeans_iters=2).collect()
+    b = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2,
+                 kmeans_iters=2).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    # shuffle-join probe path (broadcast_probes=False) gives identical
+    # results to the broadcast path
+    c = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2,
+                 kmeans_iters=2, broadcast_probes=False).collect()
+    assert {tuple(r) for r in c} == {tuple(r) for r in a}
+
+
 def test_embedding_near_dup(spark):
     emb, vecs = _mkemb(spark)
     got = {

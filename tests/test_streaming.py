@@ -207,3 +207,171 @@ def test_streaming_edges_running_total(spark, tmp_path):
     assert g == w and len(g) > 0
     assert ("constraints", "linear", 1.0) in g  # raw tokens, not lowercased
     assert F is not None
+
+
+def test_streaming_minhash_verified_matches_batch(spark, tmp_path):
+    """Stream-side verify stage (foreachBatch + exact_jaccard_for_pairs):
+    streaming pairs-above-threshold == minhash_lsh_pairs(verify_threshold)
+    on the same corpus."""
+    from jgtextrank_spark.functions.dedup import minhash_lsh_pairs
+    from jgtextrank_spark.streaming import streaming_minhash_verified_writer
+
+    texts = {
+        "d1": "the quick brown fox jumps over the lazy dog again today",
+        "d2": "the quick brown fox jumps over the lazy dog again now",
+        "d3": "completely different content about spark streaming state",
+        "d4": "the quick brown fox jumps over the lazy dog again today",
+    }
+    path = str(tmp_path / "mhv_pages")
+    spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1), b"", v, "en") for k, v in texts.items()],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.parquet(path)
+    store = spark.read.parquet(path)
+
+    pages = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    ).parquet(path)
+    got: set = set()
+    writer = streaming_minhash_verified_writer(
+        pages,
+        store,
+        output_fn=lambda df, bid: got.update(
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+        ),
+        bands=8,
+        rows_per_band=2,
+        verify_threshold=0.5,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    batch_docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id string, text string"
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            batch_docs, bands=8, rows_per_band=2, verify_threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert ("d1", "d4", 1.0) in got  # exact dup verifies at jaccard 1
+
+
+def test_streaming_minhash_saturation_no_reemission(spark, tmp_path):
+    """A url hitting a FULL bucket emits its member pairs once, is
+    remembered in the bounded overflow set, and a later re-arrival of the
+    same url does NOT re-emit (ADVICE round 2); pairs between two
+    post-cap urls are not emitted."""
+    from jgtextrank_spark.streaming import streaming_minhash_candidates
+
+    same = "the quick brown fox jumps over the lazy dog again today"
+    f1 = str(tmp_path / "sat" / "f1.parquet")
+    f2 = str(tmp_path / "sat" / "f2.parquet")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    )
+    spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), b"", same, "en")
+         for u in ("d1", "d2", "d3")],
+        schema,
+    ).coalesce(1).write.parquet(f1)
+    import time as _t
+    _t.sleep(1.1)  # distinct mtime: f1's batch must replay before f2's
+    spark.createDataFrame(
+        [("d2", dt.datetime(2024, 1, 1, 1), b"", same, "en")], schema
+    ).coalesce(1).write.parquet(f2)
+
+    pages = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "sat" / "*"))
+    )
+    got = _run(
+        spark,
+        streaming_minhash_candidates(
+            pages, bands=4, rows_per_band=2, max_per_bucket=1
+        ),
+        "stream_mh_sat",
+        "append",
+    )
+    rows = [(r["doc_a"], r["doc_b"], r["band"]) for r in got.collect()]
+    # cap=1: only d1 admitted; d2/d3 each pair with d1 once per band;
+    # (d2, d3) never pairs (both post-cap); d2's re-arrival emits nothing
+    assert set(rows) == {
+        ("d1", "d2", b) for b in range(4)
+    } | {("d1", "d3", b) for b in range(4)}
+    assert len(rows) == len(set(rows))  # no duplicate emissions
+
+
+def _write_session_files(spark, base, batches):
+    """One parquet dir per micro-batch, mtime-ordered so the file source
+    (maxFilesPerTrigger=1) replays them in sequence."""
+    import os
+    import time
+
+    schema = "user_id string, ts timestamp, value double"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(base / f"b{i}.parquet")
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    return str(base / "*")
+
+
+def test_streaming_sessionize_event_time(spark, tmp_path):
+    """EventTimeTimeout: a quiet key's session closes when the WATERMARK
+    passes session_end + gap — deterministically from data time — and the
+    closed-session set is invariant to arrival order within the
+    watermark."""
+    from jgtextrank_spark.streaming import streaming_sessionize
+
+    u1 = [
+        ("u1", T0, 1.0),
+        ("u1", T0 + dt.timedelta(minutes=5), 2.0),
+    ]
+    # sentinels on another key, far enough ahead to drag the watermark
+    # (1 hour) past u1's last event + gap (10 min)
+    s1 = [("z", T0 + dt.timedelta(hours=3), 0.0)]
+    s2 = [("z", T0 + dt.timedelta(hours=4), 0.0)]
+
+    def run(order, name):
+        base = tmp_path / name
+        base.mkdir()
+        glob = _write_session_files(spark, base, order)
+        ev = (
+            spark.readStream.schema(
+                "user_id string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        got = _run(
+            spark,
+            streaming_sessionize(
+                ev, gap_minutes=10, timeout_mode="event", watermark="1 hour"
+            ),
+            f"stream_sessions_{name}",
+            "append",
+        )
+        return {
+            (r["key"], r["session_start"], r["session_end"], r["n_events"],
+             r["sum_value"])
+            for r in got.collect()
+        }
+
+    want = {
+        ("u1", T0, T0 + dt.timedelta(minutes=5), 2, 3.0),
+        # the sentinel key's first session closes via the in-batch gap
+        # when its second sentinel arrives
+        ("z", T0 + dt.timedelta(hours=3), T0 + dt.timedelta(hours=3), 1, 0.0),
+    }
+    got_a = run([u1, s1, s2], "a")
+    assert got_a == want
+    # shuffled arrival: u1's two events split across batches, reversed
+    got_b = run([[u1[1]], [u1[0]] + s1, s2], "b")
+    assert got_b == want
