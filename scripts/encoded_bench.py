@@ -27,13 +27,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 _RUNNER = """
-import json, sys, time, urllib.request
+import json, os, sys, time, urllib.request
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from jgtextrank_spark.session import get_spark
 from bench import synth_powerlaw_edges
 
-spark = get_spark(master="local[{cores}]", shuffle_partitions={cores},
+# string keys are ~6x fatter than longs: partition the shuffles well
+# below the hash-aggregate spill point (this is exactly the knob the
+# 100 TB sizing notes prescribe — maxPartitionBytes/shuffle.partitions
+# sized to the executor heap)
+spark = get_spark(master="local[{cores}]", shuffle_partitions={parts},
                   app_name="encoded-bench",
                   extra_conf={{"spark.ui.enabled": "true"}})
 spark.sparkContext.setLogLevel("ERROR")
@@ -86,8 +91,9 @@ print("RESULT_JSON:" + json.dumps({{
 
 def run_one(encode: bool, args) -> dict:
     code = _RUNNER.format(
-        repo=str(REPO), cores=args.cores, vertices=args.vertices,
-        edges=args.edges, iters=args.iters, encode=encode,
+        repo=str(REPO), cores=args.cores, parts=args.parts,
+        vertices=args.vertices, edges=args.edges, iters=args.iters,
+        encode=encode,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -107,6 +113,7 @@ def main() -> None:
     ap.add_argument("--edges", type=int, default=120_000_000)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--parts", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
