@@ -148,6 +148,32 @@ def q_pagerank(spark, sf_dir):
     return scores.select("vertex", F.round("score", 6).alias("score"))
 
 
+def q_pagerank_personalized(spark, sf_dir):
+    """Topic-sensitive PageRank: teleport + dangling mass follow a
+    normalized per-vertex weight vector (here: token length — a
+    deterministic non-uniform profile both engines can derive). Fixed
+    supersteps; oracle is the personalized unrolled CTE chain."""
+    _prep(spark)
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.graph import symmetrize
+
+    edges = symmetrize(_doc_edges(spark, sf_dir))
+    pers = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.length("id").cast("double").alias("weight"))
+    )
+    scores = pagerank(
+        edges,
+        personalization=pers,
+        max_iter=PR_ITERS,
+        tol=0.0,
+        checkpoint_every=0,
+    )
+    return scores.select("vertex", F.round("score", 6).alias("score"))
+
+
 def q_components_per_doc(spark, sf_dir):
     """Connected components of each document's token co-occurrence graph
     (hash-min supersteps over all documents at once).
@@ -272,6 +298,17 @@ def q_coreness(spark, sf_dir):
     from jgtextrank_spark.algos.centrality import core_numbers
 
     return core_numbers(_doc_edges(spark, sf_dir))
+
+
+def q_neighborhood_2(spark, sf_dir):
+    """Exact 2-hop ball sizes |B(v, 2)| over the doc co-occurrence graph
+    (algos/neighborhood.neighborhood_exact — the oracle-replayable twin
+    of the HyperBall sketch path, which is diff-tested against it in
+    tests/test_algos.py)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.neighborhood import neighborhood_exact
+
+    return neighborhood_exact(_doc_edges(spark, sf_dir), t=2)
 
 
 def q_textrank_keywords(spark, sf_dir):
@@ -682,11 +719,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_salted": q_pagerank_salted,
         "pagerank_encoded": q_pagerank_encoded,
+        "pagerank_personalized": q_pagerank_personalized,
         "components_per_doc": q_components_per_doc,
         "components_star_per_doc": q_components_star_per_doc,
         "label_propagation": q_label_propagation,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
+        "neighborhood_2": q_neighborhood_2,
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "web_host_pagerank": q_web_host_pagerank,
@@ -794,6 +833,54 @@ r{i} AS MATERIALIZED (
   SELECT verts.v,
          0.85 * coalesce(c.c, 0) + 0.15 / (SELECT cnt FROM nn) AS r
   FROM verts LEFT JOIN (
+    SELECT norm.dst, sum(norm.nw * p.r) AS c
+    FROM norm JOIN r{i - 1} p ON p.v = norm.src
+    GROUP BY norm.dst
+  ) c ON c.dst = verts.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT v AS vertex, round(r, 6) AS score FROM r{iters}"
+    )
+
+
+def _pagerank_sql_personalized(iters: int) -> str:
+    """Personalized unrolled CTE chain over the symmetric doc graph
+    (no dangling vertices by symmetry, so the dangling-mass term is 0
+    throughout): r <- 0.85*contrib + 0.15*p with p(v) normalized token
+    length. The dangling-with-personalization branch is nx-parity-tested
+    in tests/test_pagerank.py on a directed graph."""
+    ctes = [
+        _EDGES,
+        """
+sym AS (
+  SELECT src, dst, weight FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+),
+outdeg AS (SELECT src, sum(weight) AS s FROM sym GROUP BY src),
+norm AS MATERIALIZED (
+  SELECT sym.src, sym.dst, sym.weight / outdeg.s AS nw
+  FROM sym JOIN outdeg USING (src)
+),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM verts),
+psum AS (SELECT sum(length(v))::DOUBLE AS s FROM verts),
+pv AS MATERIALIZED (
+  SELECT v, length(v)::DOUBLE / (SELECT s FROM psum) AS p FROM verts
+),
+r0 AS (SELECT v, 1.0 / (SELECT cnt FROM nn) AS r FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+r{i} AS MATERIALIZED (
+  SELECT verts.v,
+         0.85 * coalesce(c.c, 0) + 0.15 * pv.p AS r
+  FROM verts JOIN pv ON pv.v = verts.v
+  LEFT JOIN (
     SELECT norm.dst, sum(norm.nw * p.r) AS c
     FROM norm JOIN r{i - 1} p ON p.v = norm.src
     GROUP BY norm.dst
@@ -1448,9 +1535,35 @@ FROM events GROUP BY 1, 2""",
     # plan-variant queries share their spec's oracle: the salted /
     # encoded / star paths must produce byte-identical results
     d["pagerank_salted"] = d["pagerank"]
+    d["pagerank_personalized"] = _pagerank_sql_personalized(PR_ITERS)
     d["pagerank_encoded"] = d["pagerank"]
     d["components_star_per_doc"] = d["components_per_doc"]
     d["label_propagation_encoded"] = d["label_propagation"]
+    d["neighborhood_2"] = f"""
+WITH {_EDGES},
+adj AS (
+  SELECT DISTINCT src AS v, dst AS u FROM edges WHERE src <> dst
+  UNION
+  SELECT DISTINCT dst AS v, src AS u FROM edges WHERE src <> dst
+),
+verts AS (
+  SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+r0 AS (SELECT vertex AS v, vertex AS r FROM verts),
+r1 AS (
+  SELECT v, r FROM r0
+  UNION
+  SELECT r0.v, adj.u AS r FROM r0 JOIN adj ON adj.v = r0.r
+),
+r2 AS (
+  SELECT v, r FROM r1
+  UNION
+  SELECT r1.v, adj.u AS r FROM r1 JOIN adj ON adj.v = r1.r
+)
+SELECT v AS vertex, count(DISTINCT r)::BIGINT AS n_reach
+FROM r2 GROUP BY v"""
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )

@@ -48,11 +48,20 @@ def pagerank_result(
     broadcast_threshold: int = 2_000_000,
     truncate_every: int = 1,
     salt_buckets: int = 0,
+    personalization: DataFrame | None = None,
 ) -> tuple[SuperstepResult, int]:
     """Run PageRank, returning the full superstep result (state has columns
     ``vertex, rank, dangling, prev_rank``) plus N. ``edges`` are directed
     ``(src, dst, weight)``; ``vertices`` (one column ``id``) may add
     isolated vertices beyond those present in edges.
+
+    ``personalization`` (columns ``id, weight``) makes it topic-sensitive
+    PageRank with nx semantics: the teleport AND the dangling-mass
+    redistribution follow the normalized weight vector instead of 1/n
+    (vertices absent from the table get weight 0 — they receive rank
+    only through links). The per-vertex weight rides the state as a
+    column, so the superstep plan shape is unchanged: no extra join, the
+    same single fused delta+dangle action.
 
     ``salt_buckets > 0`` enables the explicit skew path for extreme hubs
     (SURVEY §4.2.2-4.2.3; degree >> E/partitions, e.g. 10^8-in-degree
@@ -89,20 +98,33 @@ def pagerank_result(
 
     out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
 
-    verts = (
-        verts.join(
-            out_deg.select(F.col("src").alias("id")).withColumn(
-                "has_out", F.lit(True)
-            ),
-            "id",
-            "left",
-        )
-        .select(
-            F.col("id").alias("vertex"),
-            F.coalesce("has_out", F.lit(False)).alias("has_out"),
-        )
-        .persist()
+    verts = verts.join(
+        out_deg.select(F.col("src").alias("id")).withColumn(
+            "has_out", F.lit(True)
+        ),
+        "id",
+        "left",
+    ).select(
+        F.col("id").alias("vertex"),
+        F.coalesce("has_out", F.lit(False)).alias("has_out"),
     )
+    if personalization is not None:
+        psum = personalization.agg(
+            F.sum(F.col("weight").cast("double")).alias("s")
+        ).collect()[0]["s"]
+        if not psum or psum <= 0:
+            raise ValueError("personalization weights must sum > 0")
+        verts = verts.join(
+            personalization.select(
+                F.col("id").alias("vertex"),
+                (F.col("weight").cast("double") / F.lit(psum)).alias("pv"),
+            ),
+            "vertex",
+            "left",
+        ).select(
+            "vertex", "has_out", F.coalesce("pv", F.lit(0.0)).alias("pv")
+        )
+    verts = verts.persist()
     n = verts.count()
 
     # Rank vectors far smaller than the adjacency are broadcast into both
@@ -142,8 +164,9 @@ def pagerank_result(
 
     init = verts.select(
         "vertex",
-        F.lit(1.0 / n).alias("rank"),
+        F.lit(1.0 / n).alias("rank"),  # nx starts uniform even personalized
         (~F.col("has_out")).alias("dangling"),
+        *([F.col("pv")] if personalization is not None else []),
     )
 
     def _b(df):
@@ -180,18 +203,29 @@ def pagerank_result(
             contribs = msgs.groupBy("dst").agg(
                 F.sum(F.col("nw") * F.col("rank")).alias("contrib")
             )
-        base = alpha * dangle_sum / n + (1.0 - alpha) / n
+        if personalization is None:
+            base = F.lit(alpha * dangle_sum / n + (1.0 - alpha) / n)
+            carry = []
+        else:
+            # teleport + dangling mass both follow p(v):
+            # alpha*dangle*p + (1-alpha)*p = (alpha*dangle + 1-alpha)*p
+            base = F.lit(alpha * dangle_sum + (1.0 - alpha)) * F.col("pv")
+            carry = [F.col("pv")]
         new_state = (
-            state.select("vertex", "dangling", F.col("rank").alias("prev_rank"))
+            state.select(
+                "vertex", "dangling", F.col("rank").alias("prev_rank"),
+                *carry,
+            )
             .join(_b(contribs), F.col("vertex") == F.col("dst"), "left")
             .select(
                 "vertex",
                 "dangling",
                 (
                     F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
-                    + F.lit(base)
+                    + base
                 ).alias("rank"),
                 "prev_rank",
+                *carry,
             )
         )
         # persist BEFORE the agg action so the state is computed once; the
@@ -240,6 +274,13 @@ def pagerank(
         from ..graph import decode_scores, encode_vertices
 
         enc_edges, vdict = encode_vertices(edges, extra_vertices=vertices)
+        pers = kwargs.pop("personalization", None)
+        if pers is not None:
+            # translate personalization ids through the same dictionary
+            renamed = vdict.withColumnRenamed("token", "orig")
+            kwargs["personalization"] = pers.join(
+                renamed, pers["id"] == renamed["orig"]
+            ).select(renamed["id"].alias("id"), pers["weight"])
         result, _ = pagerank_result(
             enc_edges, vdict.select("id"), alpha=alpha, max_iter=max_iter,
             tol=tol, **kwargs,

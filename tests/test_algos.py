@@ -456,3 +456,66 @@ def test_katz_parity(spark):
     }
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6, v
+
+
+# -------------------------------------------- neighborhood / effective diam
+def test_neighborhood_exact_path_graph(spark):
+    """Exact ball sizes on a 10-path: |B(v,2)| is min(5, boundary)."""
+    from jgtextrank_spark.algos.neighborhood import neighborhood_exact
+
+    edges = [(i, i + 1) for i in range(9)]
+    got = {
+        r["vertex"]: r["n_reach"]
+        for r in neighborhood_exact(_edges_df(spark, edges), t=2).collect()
+    }
+    import networkx as nx
+
+    G = _nx_graph(edges)
+    want = {
+        v: len(nx.single_source_shortest_path_length(G, v, cutoff=2))
+        for v in G
+    }
+    assert got == want
+
+
+def test_hyperball_matches_exact_within_hll_error(spark):
+    """HyperBall sketch estimates vs the exact operator: every superstep-t
+    ball size within HLL++ error (sparse-mode exact at these
+    cardinalities), N(t) monotone, convergence at the graph's
+    eccentricity bound, deterministic re-run."""
+    from jgtextrank_spark.algos.neighborhood import (
+        hyperball_result,
+        neighborhood_exact,
+        neighborhood_function,
+    )
+
+    edges = [(i, i + 1) for i in range(9)] + [
+        (100, 101), (101, 102), (100, 102),  # separate triangle
+    ]
+    df = _edges_df(spark, edges)
+    res, n_t = hyperball_result(df, max_iter=32)
+    assert res.converged
+    # exact per-vertex at the converged horizon: full component sizes
+    est = {r["vertex"]: r["est"] for r in res.state.collect()}
+    want = {str(i): 10.0 for i in range(10)}
+    want.update({str(i): 3.0 for i in (100, 101, 102)})
+    for v, e in est.items():
+        assert abs(e - want[v]) / want[v] < 0.05, (v, e, want[v])
+    # neighborhood function: N(0)=13, monotone, N(inf) ~ 10*10+3*3=109
+    assert n_t[0] == 13.0
+    assert all(b >= a for a, b in zip(n_t, n_t[1:]))
+    assert abs(n_t[-1] - 109.0) / 109.0 < 0.05
+    # t=2 profile matches the exact operator within HLL error
+    exact2 = {
+        r["vertex"]: r["n_reach"]
+        for r in neighborhood_exact(df, t=2).collect()
+    }
+    assert abs(n_t[2] - sum(exact2.values())) / sum(exact2.values()) < 0.05
+    # effective diameter of the 10-path component dominates: ~7 hops
+    # cover 90% of reachable pairs
+    prof = neighborhood_function(df, alpha=0.9)
+    assert 5 <= prof["effective_diameter"] <= 9
+    assert prof["converged"]
+    # determinism
+    _, n_t2 = hyperball_result(df, max_iter=32)
+    assert n_t2 == n_t

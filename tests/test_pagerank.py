@@ -119,3 +119,39 @@ def test_checkpoint_resume(spark, tmp_path):
     want = pagerank_edges([(str(s), str(d), w) for s, d, w in edges])
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-6
+
+
+def test_personalized_pagerank_parity(spark):
+    """Topic-sensitive PageRank vs the nx recurrence: teleport AND
+    dangling mass follow the normalized personalization vector; vertices
+    absent from the table get weight 0. Encoded path identical."""
+    import networkx as nx
+
+    from oracle.nxparity import pagerank_nx
+
+    rng = random.Random(13)
+    n = 40
+    dedup = {}
+    for _ in range(200):
+        dedup[(rng.randrange(n), rng.randrange(n))] = rng.uniform(0.5, 2.0)
+    dedup[(0, 777)] = 1.0  # 777 dangling: mass redistributes along p
+    edges = [(s, d, w) for (s, d), w in dedup.items()]
+    edf = _make_edges_df(spark, edges)
+    # deterministic non-uniform weights on a strict subset of vertices
+    pers = {str(v): float(1 + v % 5) for v in range(0, n, 2)}
+    pdf = spark.createDataFrame(
+        list(pers.items()), "id string, weight double"
+    )
+    G = nx.DiGraph()
+    for s, d, w in edges:
+        G.add_edge(str(s), str(d), weight=w)
+    want = pagerank_nx(G, personalization=pers)
+    got = _collect(pagerank(edf, personalization=pdf))
+    _assert_allclose(got, want)
+    # encode_ids path translates personalization ids through the dict
+    got_enc = _collect(pagerank(edf, personalization=pdf, encode_ids=True))
+    _assert_allclose(got_enc, got, atol=1e-12)
+    # degenerate: all-zero weight table raises
+    zero = spark.createDataFrame([("0", 0.0)], "id string, weight double")
+    with pytest.raises(Exception, match="sum > 0"):
+        pagerank(edf, personalization=zero)
