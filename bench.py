@@ -138,6 +138,39 @@ def bench_coreness_hindex(
     }
 
 
+def bench_hyperball(
+    spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000,
+    lg_k: int = 8,
+) -> dict:
+    """HyperBall neighborhood function on the 2M-edge power-law graph:
+    per-superstep cost is O(E) HLL merges regardless of ball sizes — the
+    property that lets the distance profile run at web scale. lg_k=8
+    (~6.5% relative error, 256-register sketches) is the standard
+    HyperBall operating point: each superstep ships one sketch per
+    adjacency row through the union agg, so register size IS the
+    shuffle-byte knob."""
+    from jgtextrank_spark.algos.neighborhood import hyperball_result
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    res, n_t = hyperball_result(
+        edges, max_iter=32, lg_k=lg_k, checkpoint_every=0
+    )
+    wall = time.time() - t0
+    edges.unpersist()
+    target = 0.9 * n_t[-1]
+    eff = next((t for t, v in enumerate(n_t) if v >= target), len(n_t) - 1)
+    return {
+        "vertices": n_vertices,
+        "rounds": res.iterations,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+        "effective_diameter_0.9": eff,
+        "n_t": [round(v) for v in n_t],
+    }
+
+
 def bench_salted_pagerank(
     spark: SparkSession, edges: DataFrame, iters: int = 5
 ) -> dict:
@@ -256,6 +289,10 @@ def main() -> None:
     kcore = bench_coreness_hindex(spark)
     queries["coreness_hindex_powerlaw_2m"] = kcore["wall_sec"]
 
+    # distance profile (HyperBall sketches) on the same graph
+    hb = bench_hyperball(spark)
+    queries["hyperball_powerlaw_2m"] = hb["wall_sec"]
+
     # engine queries over the sf tables
     timed(
         "pagerank_docs_20it",
@@ -317,6 +354,7 @@ def main() -> None:
             "cc_star_chain": cc_star,
             "cc_star_contraction": cc_contract,
             "coreness_hindex": kcore,
+            "hyperball": hb,
         },
     }
     print(json.dumps(out))
