@@ -152,10 +152,14 @@ recurring cost that dominates at any real iteration count.
 | plain strings | — | {plain['prep_shuffle_write_bytes']/gib:.2f} GiB | {plain['supersteps']} | {plain['mean_superstep_sec']} | {plain['wall_sec']} | {plain['loop_shuffle_write_bytes']/gib:.2f} GiB | {plain['loop_shuffle_read_bytes']/gib:.2f} GiB |
 | encode_ids | {enc['encode_sec']} | {enc['prep_shuffle_write_bytes']/gib:.2f} GiB | {enc['supersteps']} | {enc['mean_superstep_sec']} | {enc['wall_sec']} | {enc['loop_shuffle_write_bytes']/gib:.2f} GiB | {enc['loop_shuffle_read_bytes']/gib:.2f} GiB |
 
-Loop shuffle-write reduction: **{w_ratio:.2f}x**; superstep speedup:
-**{plain['mean_superstep_sec']/enc['mean_superstep_sec']:.2f}x**
-(scores identical — encode/decode parity is gate-checked by the
-pagerank_encoded row). Per-superstep walls: plain
+Loop shuffle-write reduction: **{w_ratio:.2f}x**; mean superstep
+speedup **{plain['mean_superstep_sec']/enc['mean_superstep_sec']:.2f}x**
+(first plain superstep includes adjacency first-touch — steady-state
+walls, last 3 supersteps, give
+**{sum(plain['step_walls_sec'][-3:])/max(1e-9,sum(enc['step_walls_sec'][-3:])):.2f}x**;
+both sets listed below so the raw data is inspectable). Scores are
+identical — encode/decode parity is gate-checked by the
+pagerank_encoded row. Per-superstep walls: plain
 {plain['step_walls_sec']}, encoded {enc['step_walls_sec']}. At 10^12
 edges the encode prep is one sort-free hash join amortized over every
 superstep of every downstream algorithm; the shuffle-byte ratio is the
