@@ -65,15 +65,36 @@ def main() -> None:
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--n-cores", type=int, default=2)
     ap.add_argument("--xn-cores", type=int, default=8)
+    # phased mode: each converged run exceeds a 10-minute supervisor slot,
+    # so --only a/b persists one run's JSON and --report combines them
+    ap.add_argument("--only", choices=["a", "b"], default=None)
+    ap.add_argument("--json-dir", default="/tmp/scaling_runs")
+    ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
 
     n, xn = args.n_cores, args.xn_cores
-    print(f"run A: local[{n}] ...", flush=True)
-    a = run_at(n, n, args.vertices, args.edges)
-    print(json.dumps(a), flush=True)
-    print(f"run B: local[{xn}] ...", flush=True)
-    b = run_at(xn, xn, args.vertices, args.edges)
-    print(json.dumps(b), flush=True)
+    jd = Path(args.json_dir)
+    jd.mkdir(exist_ok=True)
+    if args.only == "a":
+        a = run_at(n, n, args.vertices, args.edges)
+        (jd / "a.json").write_text(json.dumps(a))
+        print(json.dumps(a), flush=True)
+        return
+    if args.only == "b":
+        b = run_at(xn, xn, args.vertices, args.edges)
+        (jd / "b.json").write_text(json.dumps(b))
+        print(json.dumps(b), flush=True)
+        return
+    if args.report:
+        a = json.loads((jd / "a.json").read_text())
+        b = json.loads((jd / "b.json").read_text())
+    else:
+        print(f"run A: local[{n}] ...", flush=True)
+        a = run_at(n, n, args.vertices, args.edges)
+        print(json.dumps(a), flush=True)
+        print(f"run B: local[{xn}] ...", flush=True)
+        b = run_at(xn, xn, args.vertices, args.edges)
+        print(json.dumps(b), flush=True)
 
     # robust steady-state estimate: MEDIAN of the post-warmup superstep
     # walls (a noisy-neighbour spike in this shared sandbox otherwise
