@@ -311,6 +311,21 @@ def q_neighborhood_2(spark, sf_dir):
     return neighborhood_exact(_doc_edges(spark, sf_dir), t=2)
 
 
+def q_harmonic_approx(spark, sf_dir):
+    """HyperBall harmonic centrality over the doc co-occurrence graph.
+    At this vertex count the HLL++ sketches stay in sparse-exact mode, so
+    the 'approximate' operator is exactly the closed-form harmonic
+    centrality — the DuckDB oracle computes it via a recursive BFS with
+    min-distance grouping, summed per distance level exactly like the
+    superstep accumulator."""
+    _prep(spark)
+    from jgtextrank_spark.algos.neighborhood import (
+        harmonic_centrality_approx,
+    )
+
+    return harmonic_centrality_approx(_doc_edges(spark, sf_dir))
+
+
 def q_textrank_keywords(spark, sf_dir):
     """Flagship raw-text pipeline, checked against a committed
     REFERENCE-GENERATED golden (goldens/textrank_sf0.01.parquet, built by
@@ -726,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
         "neighborhood_2": q_neighborhood_2,
+        "harmonic_approx": q_harmonic_approx,
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "web_host_pagerank": q_web_host_pagerank,
@@ -1564,6 +1580,33 @@ r2 AS (
 )
 SELECT v AS vertex, count(DISTINCT r)::BIGINT AS n_reach
 FROM r2 GROUP BY v"""
+    d["harmonic_approx"] = f"""
+WITH RECURSIVE {_EDGES},
+adj AS (
+  SELECT DISTINCT src AS v, dst AS u FROM edges WHERE src <> dst
+  UNION
+  SELECT DISTINCT dst AS v, src AS u FROM edges WHERE src <> dst
+),
+verts AS (
+  SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+reach(v, r, d) AS (
+  SELECT vertex AS v, vertex AS r, 0 AS d FROM verts
+  UNION
+  SELECT reach.v, adj.u AS r, d + 1 AS d
+  FROM reach JOIN adj ON adj.v = reach.r
+  WHERE d < 40
+),
+dist AS (
+  SELECT v, r, min(d) AS md FROM reach WHERE v <> r GROUP BY v, r
+),
+lvl AS (
+  SELECT v, md, count(*)::DOUBLE AS cnt FROM dist GROUP BY v, md
+)
+SELECT v AS vertex, round(sum(cnt / md), 6) AS harmonic
+FROM lvl GROUP BY v"""
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )

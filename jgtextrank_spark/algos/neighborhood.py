@@ -41,6 +41,7 @@ __all__ = [
     "neighborhood_exact",
     "hyperball_result",
     "neighborhood_function",
+    "harmonic_centrality_approx",
 ]
 
 
@@ -103,8 +104,11 @@ def hyperball_result(
     resume: bool = True,
 ):
     """HyperBall on the superstep harness. State: ``(vertex, sketch,
-    est, prev_est)`` where ``sketch`` is the HLL++ sketch of B(vertex, t)
-    after t supersteps and ``est`` its cardinality estimate.
+    est, hsum, ...)`` where ``sketch`` is the HLL++ sketch of
+    B(vertex, t) after t supersteps, ``est`` its cardinality estimate,
+    and ``hsum`` the running harmonic-centrality accumulator
+    (sum over t of (#vertices at distance exactly t)/t — see
+    :func:`harmonic_centrality_approx`).
 
     Superstep: ``sketch(v) <- hll_union(sketch(v), hll_union_agg over
     neighbours' sketches)`` — one join against the u-partitioned cached
@@ -136,6 +140,11 @@ def hyperball_result(
             "vertex",
             "sketch",
             F.hll_sketch_estimate("sketch").cast("double").alias("est"),
+            # running harmonic-centrality accumulator:
+            # hsum += (#vertices at distance exactly t) / t per superstep
+            # (Boldi & Vigna's HyperBall payoff: an all-pairs-BFS-class
+            # quantity from the same sketches, no extra pass)
+            F.lit(0.0).alias("hsum"),
         )
     )
     n_t: list[float] = []
@@ -160,9 +169,18 @@ def hyperball_result(
                     F.hll_union(state["sketch"], F.col("nb_sk"))
                 ).alias("sketch"),
                 state["est"].alias("prev_est"),
+                state["hsum"].alias("prev_hsum"),
             )
             .withColumn(
                 "est", F.hll_sketch_estimate("sketch").cast("double")
+            )
+            .withColumn(
+                # estimate differences can dip below 0 at HLL noise scale
+                "hsum",
+                F.col("prev_hsum")
+                + F.greatest(
+                    F.col("est") - F.col("prev_est"), F.lit(0.0)
+                ) / F.lit(float(it)),
             )
             .persist()
         )
@@ -191,6 +209,27 @@ def hyperball_result(
     # (every ball starts as {v}; the t=1 state row count equals |V|)
     nv = result.state.count()
     return result, [float(nv)] + n_t
+
+
+def harmonic_centrality_approx(
+    edges: DataFrame,
+    max_iter: int = 64,
+    lg_k: int = 12,
+    **kwargs,
+) -> DataFrame:
+    """Approximate harmonic centrality for EVERY vertex:
+    ``H(v) = sum_{u != v} 1/d(v, u)``, from the HyperBall sketches'
+    per-superstep ball growth — an all-pairs-shortest-path-class
+    quantity computed in O(E * diameter) sketch merges instead of
+    O(V * E) BFS (the exact betweenness/closeness family lives in
+    smallgraph.py with a documented 200k cap; this is the web-scale
+    alternative). Estimates carry HLL relative error (~1.04/sqrt(2^lg_k)
+    per ball; negative growth noise is clamped at 0). Returns
+    (vertex, harmonic)."""
+    res, _ = hyperball_result(edges, max_iter=max_iter, lg_k=lg_k, **kwargs)
+    return res.state.select(
+        "vertex", F.round(F.col("hsum"), 6).alias("harmonic")
+    )
 
 
 def neighborhood_function(

@@ -519,3 +519,23 @@ def test_hyperball_matches_exact_within_hll_error(spark):
     # determinism
     _, n_t2 = hyperball_result(df, max_iter=32)
     assert n_t2 == n_t
+
+
+def test_harmonic_centrality_approx_vs_nx(spark):
+    """HyperBall harmonic centrality vs nx.harmonic_centrality: exact on
+    small graphs (HLL++ sparse mode is exact at these cardinalities —
+    ball growth differences are true distance-t counts)."""
+    from jgtextrank_spark.algos.neighborhood import (
+        harmonic_centrality_approx,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (2, 6)]
+    df = _edges_df(spark, edges)
+    got = {
+        r["vertex"]: r["harmonic"]
+        for r in harmonic_centrality_approx(df).collect()
+    }
+    want = nx.harmonic_centrality(_nx_graph(edges))
+    assert got.keys() == want.keys()
+    for v, w in want.items():
+        assert abs(got[v] - w) <= 0.05 * max(w, 1.0), (v, got[v], w)
