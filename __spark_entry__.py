@@ -80,6 +80,22 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_edges_w(spark: SparkSession, sf_dir: str, window: int) -> DataFrame:
+    """_doc_edges at an arbitrary window (the crawl-diff gate compares
+    the window-2 and window-3 graphs as two 'snapshots')."""
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(_doc_token_arrays(spark, sf_dir), window=window)
+    return (
+        pairs.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Spark-side queries
 # --------------------------------------------------------------------------
@@ -309,6 +325,20 @@ def q_neighborhood_2(spark, sf_dir):
     from jgtextrank_spark.algos.neighborhood import neighborhood_exact
 
     return neighborhood_exact(_doc_edges(spark, sf_dir), t=2)
+
+
+def q_edge_diff(spark, sf_dir):
+    """Snapshot diff (weblinks.edge_diff) between the window-2 and
+    window-3 co-occurrence graphs: (src, dst, status, weight_a,
+    weight_b). Oracle: full-outer join of the two closed-form edge CTEs
+    with the same status algebra."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import edge_diff
+
+    return edge_diff(
+        _doc_edges_w(spark, sf_dir, WINDOW),
+        _doc_edges_w(spark, sf_dir, WINDOW + 1),
+    )
 
 
 def q_harmonic_approx(spark, sf_dir):
@@ -742,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "neighborhood_2": q_neighborhood_2,
         "harmonic_approx": q_harmonic_approx,
+        "edge_diff": q_edge_diff,
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "web_host_pagerank": q_web_host_pagerank,
@@ -1607,6 +1638,33 @@ lvl AS (
 )
 SELECT v AS vertex, round(sum(cnt / md), 6) AS harmonic
 FROM lvl GROUP BY v"""
+    d["edge_diff"] = f"""
+WITH {_TOK},
+pa AS (
+  SELECT least(a.token, b.token) AS src,
+         greatest(a.token, b.token) AS dst
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+ea AS (SELECT src, dst, count(*)::DOUBLE AS weight_a FROM pa GROUP BY 1, 2),
+pb AS (
+  SELECT least(a.token, b.token) AS src,
+         greatest(a.token, b.token) AS dst
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW + 1}
+),
+eb AS (SELECT src, dst, count(*)::DOUBLE AS weight_b FROM pb GROUP BY 1, 2)
+SELECT coalesce(ea.src, eb.src) AS src,
+       coalesce(ea.dst, eb.dst) AS dst,
+       CASE WHEN ea.src IS NULL THEN 'new'
+            WHEN eb.src IS NULL THEN 'lost'
+            WHEN weight_a <> weight_b THEN 'changed'
+            ELSE 'same' END AS status,
+       coalesce(weight_a, 0) AS weight_a,
+       coalesce(weight_b, 0) AS weight_b
+FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )

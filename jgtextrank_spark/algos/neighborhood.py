@@ -45,8 +45,17 @@ __all__ = [
 ]
 
 
-def _sym_adj(edges: DataFrame) -> DataFrame:
-    """Undirected simple adjacency (v, u), both directions, no self-loops."""
+def _adj(edges: DataFrame, directed: bool) -> DataFrame:
+    """Simple adjacency (v, u), self-loops dropped. Undirected: both
+    directions. Directed: out-edges only — u is an OUT-neighbour of v,
+    so ball t+1 of v unions the t-balls of its successors and
+    B(v, t) is the set of vertices REACHABLE FROM v within t hops."""
+    if directed:
+        return (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(F.col("src").alias("v"), F.col("dst").alias("u"))
+            .distinct()
+        )
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -69,14 +78,17 @@ def _verts(edges: DataFrame) -> DataFrame:
 
 
 def neighborhood_exact(
-    edges: DataFrame, t: int = 2, vertices: DataFrame | None = None
+    edges: DataFrame,
+    t: int = 2,
+    vertices: DataFrame | None = None,
+    directed: bool = False,
 ) -> DataFrame:
     """Exact ball sizes: (vertex, n_reach) with n_reach = |B(vertex, t)|
-    including the vertex itself. t rounds of frontier expansion over the
-    undirected simple graph; state is the full (v, reached) relation —
-    exact and oracle-replayable, NOT the 10^12-edge path (see
-    :func:`hyperball_result`)."""
-    adj = _sym_adj(edges)
+    including the vertex itself (``directed=True``: out-reachability).
+    t rounds of frontier expansion over the simple graph; state is the
+    full (v, reached) relation — exact and oracle-replayable, NOT the
+    10^12-edge path (see :func:`hyperball_result`)."""
+    adj = _adj(edges, directed)
     verts = _verts(edges)
     if vertices is not None:
         verts = verts.unionByName(
@@ -102,6 +114,7 @@ def hyperball_result(
     checkpoint_every: int = 8,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    directed: bool = False,
 ):
     """HyperBall on the superstep harness. State: ``(vertex, sketch,
     est, hsum, ...)`` where ``sketch`` is the HLL++ sketch of
@@ -126,7 +139,7 @@ def hyperball_result(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     adj = (
-        _sym_adj(edges).repartition(num_partitions, "u").persist()
+        _adj(edges, directed).repartition(num_partitions, "u").persist()
     )
     init = (
         _verts(edges)
@@ -225,7 +238,12 @@ def harmonic_centrality_approx(
     smallgraph.py with a documented 200k cap; this is the web-scale
     alternative). Estimates carry HLL relative error (~1.04/sqrt(2^lg_k)
     per ball; negative growth noise is clamped at 0). Returns
-    (vertex, harmonic)."""
+    (vertex, harmonic).
+
+    ``directed=True`` (via kwargs) gives the OUTWARD harmonic —
+    ``sum_u 1/d(v, u)`` over vertices reachable FROM v. networkx's
+    digraph convention sums over INCOMING distances: pass the reversed
+    edge table to match it."""
     res, _ = hyperball_result(edges, max_iter=max_iter, lg_k=lg_k, **kwargs)
     return res.state.select(
         "vertex", F.round(F.col("hsum"), 6).alias("harmonic")

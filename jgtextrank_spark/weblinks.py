@@ -47,6 +47,8 @@ __all__ = [
     "canonicalize_url",
     "idn_fold_host",
     "link_edges",
+    "edge_diff",
+    "top_movers",
     "host_of",
     "host_edges",
     "html_to_text",
@@ -304,6 +306,59 @@ def extract_page_text(
     return pages.select(
         F.col(url_col).alias("url"),
         html_to_text(html_col, html_is_binary).alias("text"),
+    )
+
+
+def edge_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """Crawl-snapshot diff of two edge tables: ``(src, dst, status,
+    weight_a, weight_b)`` with status ``new`` (only in B), ``lost``
+    (only in A), ``changed`` (weight moved), ``same``. One full-outer
+    hash join on the edge key after per-side aggregation — linear, no
+    driver state, co-partitioned if both sides are bucketed by
+    (src, dst). The standard between-crawls question ("which links
+    appeared/disappeared since the last WARC drop?") as one plan."""
+    a = edges_a.groupBy("src", "dst").agg(
+        F.sum(F.col("weight").cast("double")).alias("weight_a")
+    )
+    b = edges_b.groupBy("src", "dst").agg(
+        F.sum(F.col("weight").cast("double")).alias("weight_b")
+    )
+    j = a.join(b, ["src", "dst"], "full_outer")
+    return j.select(
+        "src",
+        "dst",
+        F.when(F.col("weight_a").isNull(), F.lit("new"))
+        .when(F.col("weight_b").isNull(), F.lit("lost"))
+        .when(F.col("weight_a") != F.col("weight_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+        F.coalesce("weight_a", F.lit(0.0)).alias("weight_a"),
+        F.coalesce("weight_b", F.lit(0.0)).alias("weight_b"),
+    )
+
+
+def top_movers(
+    scores_a: DataFrame, scores_b: DataFrame, k: int = 100
+) -> DataFrame:
+    """Biggest per-vertex score changes between two runs (e.g. PageRank
+    on consecutive crawls): ``(vertex, score_a, score_b, delta)``, top-k
+    by |delta|. Full-outer join (absent = 0) + TakeOrderedAndProject —
+    per-partition partial top-k, never a global sort/window."""
+    a = scores_a.select("vertex", F.col("score").alias("score_a"))
+    b = scores_b.select("vertex", F.col("score").alias("score_b"))
+    return (
+        a.join(b, "vertex", "full_outer")
+        .select(
+            "vertex",
+            F.coalesce("score_a", F.lit(0.0)).alias("score_a"),
+            F.coalesce("score_b", F.lit(0.0)).alias("score_b"),
+            (
+                F.coalesce("score_b", F.lit(0.0))
+                - F.coalesce("score_a", F.lit(0.0))
+            ).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("vertex"))
+        .limit(k)
     )
 
 

@@ -539,3 +539,44 @@ def test_harmonic_centrality_approx_vs_nx(spark):
     assert got.keys() == want.keys()
     for v, w in want.items():
         assert abs(got[v] - w) <= 0.05 * max(w, 1.0), (v, got[v], w)
+
+
+def test_neighborhood_directed(spark):
+    """directed=True: out-reachability balls. Chain 0->1->2->3: ball(0,2)
+    = {0,1,2}, ball(3,2) = {3}; hyperball directed estimates match the
+    exact operator and the harmonic accumulator is the OUT-harmonic."""
+    from jgtextrank_spark.algos.neighborhood import (
+        harmonic_centrality_approx,
+        hyperball_result,
+        neighborhood_exact,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    df = _edges_df(spark, edges)
+    got = {
+        r["vertex"]: r["n_reach"]
+        for r in neighborhood_exact(df, t=2, directed=True).collect()
+    }
+    D = nx.DiGraph()
+    D.add_edges_from((str(u), str(v)) for u, v in edges)
+    want = {
+        v: len(nx.single_source_shortest_path_length(D, v, cutoff=2))
+        for v in D
+    }
+    assert got == want
+    res, _ = hyperball_result(df, directed=True)
+    est = {r["vertex"]: r["est"] for r in res.state.collect()}
+    full = {
+        v: float(len(nx.single_source_shortest_path_length(D, v)))
+        for v in D
+    }
+    for v, e in est.items():
+        assert abs(e - full[v]) <= 0.05 * full[v], (v, e, full[v])
+    # OUT-harmonic == nx.harmonic_centrality on the REVERSED digraph
+    goth = {
+        r["vertex"]: r["harmonic"]
+        for r in harmonic_centrality_approx(df, directed=True).collect()
+    }
+    wanth = nx.harmonic_centrality(D.reverse())
+    for v, w in wanth.items():
+        assert abs(goth[v] - w) <= 0.05 * max(w, 1.0), (v, goth[v], w)

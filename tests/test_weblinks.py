@@ -252,3 +252,48 @@ def test_host_pagerank_vs_nx(spark):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-9
+
+
+def test_edge_diff_and_top_movers(spark):
+    """Crawl-snapshot diff: new/lost/changed/same statuses, and the
+    biggest PageRank movers between two crawls via TakeOrderedAndProject
+    (no global window)."""
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.weblinks import edge_diff, host_edges, top_movers
+
+    snap_a = _pages(
+        spark,
+        [
+            ("https://a.org/1", '<a href="https://b.org/x">l</a>'
+                                '<a href="https://c.org/y">l</a>'),
+            ("https://b.org/x", '<a href="https://c.org/y">l</a>'),
+        ],
+    )
+    snap_b = _pages(
+        spark,
+        [
+            ("https://a.org/1", '<a href="https://b.org/x">l</a>'
+                                '<a href="https://b.org/x">again</a>'),
+            ("https://b.org/x", '<a href="https://c.org/y">l</a>'),
+            ("https://d.org/z", '<a href="https://a.org/1">l</a>'),
+        ],
+    )
+    ea, eb = link_edges(snap_a), link_edges(snap_b)
+    diff = {
+        (r["src"], r["dst"]): (r["status"], r["weight_a"], r["weight_b"])
+        for r in edge_diff(ea, eb).collect()
+    }
+    assert diff[("https://a.org/1", "https://b.org/x")] == ("changed", 1.0, 2.0)
+    assert diff[("https://a.org/1", "https://c.org/y")] == ("lost", 1.0, 0.0)
+    assert diff[("https://b.org/x", "https://c.org/y")] == ("same", 1.0, 1.0)
+    assert diff[("https://d.org/z", "https://a.org/1")] == ("new", 0.0, 1.0)
+
+    pa = pagerank(host_edges(ea))
+    pb = pagerank(host_edges(eb))
+    movers = top_movers(pa, pb, k=2).collect()
+    assert len(movers) == 2
+    assert abs(movers[0]["delta"]) >= abs(movers[1]["delta"])
+    for r in movers:
+        assert abs(r["score_b"] - r["score_a"] - r["delta"]) < 1e-12
+    plan = top_movers(pa, pb, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
