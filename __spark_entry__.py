@@ -452,15 +452,17 @@ def q_web_host_pagerank(spark, sf_dir):
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (weblinks.canonicalize_url) over messy
     synthesized URLs covering every branch: mixed-case scheme/host,
-    default and non-default ports, valid/invalid percent escapes, and a
-    bare trailing '%'. Oracle replays the same algebra in DuckDB with
-    list ops."""
+    case-sensitive userinfo (with a colon — must not defeat the
+    default-port strip or be lowercased), default and non-default ports,
+    valid/invalid percent escapes, and a bare trailing '%'. Oracle
+    replays the same algebra in DuckDB with list ops."""
     _prep(spark)
     from jgtextrank_spark.weblinks import canonicalize_url
 
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(d % 5 == 0, F.lit("User:P%4ass@")).otherwise(F.lit("")),
         F.lit("H"), (d % 7).cast("string"), F.lit(".Example.ORG"),
         F.when(d % 4 == 0, F.lit(":80"))
         .when(d % 4 == 1, F.lit(":443"))
@@ -1683,12 +1685,14 @@ FROM ct"""
         PR_ITERS, _WEB_HOST_EDGES
     )
     # independent replay of canonicalize_url's algebra (scheme/host
-    # lowering, default-port strip, percent-escape hex uppercasing) with
-    # DuckDB list ops instead of Spark higher-order functions
+    # lowering with userinfo preserved, scheme-keyed default-port strip,
+    # percent-escape hex uppercasing) with DuckDB list ops instead of
+    # Spark higher-order functions
     d["url_canonical"] = r"""
 WITH raw AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN 'User:P%4ass@' ELSE '' END)
          || 'H' || (doc_id % 7)::VARCHAR || '.Example.ORG'
          || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
              WHEN 2 THEN ':8080' ELSE '' END)
@@ -1702,16 +1706,36 @@ org AS (
            AS origin
   FROM raw
 ),
+auth AS (
+  SELECT doc_id, u, origin,
+         lower(regexp_extract(origin, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         substr(origin,
+                length(regexp_extract(origin,
+                                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                + 4) AS a
+  FROM org
+),
+ui AS (
+  SELECT doc_id, u, origin, scheme, a,
+         regexp_extract(a, '^([^@]*@)', 1) AS userinfo
+  FROM auth
+),
 lowered AS (
   SELECT doc_id,
          CASE WHEN origin = '' THEN u ELSE
-           regexp_replace(
-             regexp_replace(lower(origin),
-                            '^http://([^:/?#]+):80$', 'http://\1'),
-             '^https://([^:/?#]+):443$', 'https://\1')
+           scheme || '://' || userinfo ||
+           (CASE scheme
+              WHEN 'http' THEN
+                regexp_replace(lower(substr(a, length(userinfo) + 1)),
+                               ':80$', '')
+              WHEN 'https' THEN
+                regexp_replace(lower(substr(a, length(userinfo) + 1)),
+                               ':443$', '')
+              ELSE lower(substr(a, length(userinfo) + 1)) END)
            || substr(u, length(origin) + 1)
          END AS u
-  FROM org
+  FROM ui
 ),
 parts AS (SELECT doc_id, string_split(u, '%') AS p FROM lowered)
 SELECT doc_id,

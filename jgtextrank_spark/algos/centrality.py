@@ -178,7 +178,14 @@ def core_numbers(
     H-operator iteration on the superstep harness — see
     :func:`core_numbers_hindex_result`. ``algorithm="peel"``: k-by-k
     peeling (kept for cross-checking; its round count grows with k_max
-    and it runs outside the harness)."""
+    and it runs outside the harness).
+
+    The h-index iteration is monotone from above, so an UNCONVERGED run
+    returns core numbers that are only upper bounds (round count is
+    O(diameter) — long chains can exceed ``max_iter``). To keep the
+    "matches nx.core_number" contract honest, hitting ``max_iter``
+    without convergence raises RuntimeError; raise ``max_iter`` or use
+    ``algorithm="peel"`` (exact regardless of diameter) in that case."""
     if algorithm == "hindex":
         res = core_numbers_hindex_result(
             edges,
@@ -188,6 +195,13 @@ def core_numbers(
             checkpoint_dir=checkpoint_dir,
             resume=resume,
         )
+        if not res.converged:
+            raise RuntimeError(
+                f"core_numbers(algorithm='hindex') hit max_iter={max_iter} "
+                "without converging; the h-values are upper bounds, not "
+                "core numbers. Increase max_iter (round count is "
+                "O(diameter)) or use algorithm='peel'."
+            )
         # int core numbers, matching the peeling path's output schema
         return res.state.select(
             "vertex", F.col("h").cast("int").alias("core")

@@ -32,6 +32,9 @@ estimates land within the published HLL error of the exact operator.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -133,7 +136,16 @@ def hyperball_result(
     Returns (SuperstepResult, n_t) where ``n_t`` is the neighborhood
     function: n_t[t] = sum of ball-size estimates after t supersteps
     (n_t[0] = |V|), captured from the SAME fused per-superstep aggregate
-    that computes the convergence delta."""
+    that computes the convergence delta.
+
+    Because n_t is a per-superstep DRIVER-side total, a checkpoint-resume
+    (which skips already-checkpointed supersteps) cannot recompute the
+    skipped entries from the state alone. With ``checkpoint_dir`` set,
+    every superstep's total is therefore persisted alongside the
+    checkpoints (``hyperball_totals.json``, atomically replaced per
+    superstep) and merged back on resume; if a resume finds totals
+    missing for any superstep (older-version checkpoint, file deleted),
+    this raises instead of returning a silently truncated n_t."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -160,7 +172,21 @@ def hyperball_result(
             F.lit(0.0).alias("hsum"),
         )
     )
-    n_t: list[float] = []
+    # per-superstep totals keyed by iteration; durable next to the
+    # checkpoints so resume (which skips completed supersteps) can still
+    # reconstruct the full neighborhood function.
+    totals: dict[int, float] = {}
+    totals_path = (
+        os.path.join(checkpoint_dir, "hyperball_totals.json")
+        if checkpoint_dir
+        else None
+    )
+    if totals_path and os.path.exists(totals_path):
+        if resume:
+            with open(totals_path) as fh:
+                totals = {int(k): float(v) for k, v in json.load(fh).items()}
+        else:
+            os.remove(totals_path)  # fresh run: drop stale totals
 
     def step(state: DataFrame, it: int):
         nb = (
@@ -203,7 +229,13 @@ def hyperball_result(
             ).alias("changed"),
             F.sum("est").alias("total"),
         ).collect()[0]
-        n_t.append(float(row["total"] or 0.0))
+        totals[it] = float(row["total"] or 0.0)
+        if totals_path:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = totals_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({str(k): v for k, v in totals.items()}, fh)
+            os.replace(tmp, totals_path)
         return new_state, float(row["changed"] or 0)
 
     result = run_supersteps(
@@ -218,10 +250,20 @@ def hyperball_result(
         label="hyperball",
     )
     adj.unpersist()
+    missing = [t for t in range(1, result.iterations + 1) if t not in totals]
+    if missing:
+        raise RuntimeError(
+            "hyperball resume cannot reconstruct n_t: per-superstep totals "
+            f"for supersteps {missing} were not persisted (checkpoint from "
+            "an older version, or hyperball_totals.json was removed). "
+            "Re-run with resume=False."
+        )
     # n_t[t] for t >= 1 came from the fused aggregates; prepend N(0)=|V|
     # (every ball starts as {v}; the t=1 state row count equals |V|)
     nv = result.state.count()
-    return result, [float(nv)] + n_t
+    return result, [float(nv)] + [
+        totals[t] for t in range(1, result.iterations + 1)
+    ]
 
 
 def harmonic_centrality_approx(

@@ -59,7 +59,9 @@ def pagerank_result(
     PageRank with nx semantics: the teleport AND the dangling-mass
     redistribution follow the normalized weight vector instead of 1/n
     (vertices absent from the table get weight 0 — they receive rank
-    only through links). The per-vertex weight rides the state as a
+    only through links; ids absent from the GRAPH are ignored and do not
+    enter the normalization sum, exactly as networkx builds p over its
+    nodelist). The per-vertex weight rides the state as a
     column, so the superstep plan shape is unchanged: no extra join, the
     same single fused delta+dangle action.
 
@@ -109,15 +111,23 @@ def pagerank_result(
         F.coalesce("has_out", F.lit(False)).alias("has_out"),
     )
     if personalization is not None:
-        psum = personalization.agg(
-            F.sum(F.col("weight").cast("double")).alias("s")
-        ).collect()[0]["s"]
+        # nx semantics: the vector is normalized over IN-GRAPH ids only
+        # (networkx builds p over its nodelist, so weights of ids absent
+        # from the graph never enter p.sum()). Restricting BEFORE the sum
+        # keeps plain/encoded/nx identical even with out-of-graph ids.
+        pmatched = personalization.select(
+            F.col("id").alias("vertex"),
+            F.col("weight").cast("double").alias("pw"),
+        ).join(verts.select("vertex"), "vertex")
+        psum = pmatched.agg(F.sum("pw").alias("s")).collect()[0]["s"]
         if not psum or psum <= 0:
-            raise ValueError("personalization weights must sum > 0")
+            raise ValueError(
+                "personalization weights (over ids present in the graph) "
+                "must sum > 0"
+            )
         verts = verts.join(
-            personalization.select(
-                F.col("id").alias("vertex"),
-                (F.col("weight").cast("double") / F.lit(psum)).alias("pv"),
+            pmatched.select(
+                "vertex", (F.col("pw") / F.lit(psum)).alias("pv")
             ),
             "vertex",
             "left",
@@ -276,7 +286,10 @@ def pagerank(
         enc_edges, vdict = encode_vertices(edges, extra_vertices=vertices)
         pers = kwargs.pop("personalization", None)
         if pers is not None:
-            # translate personalization ids through the same dictionary
+            # translate personalization ids through the same dictionary.
+            # The inner join drops ids absent from the graph — harmless,
+            # because pagerank_result normalizes over in-graph ids only
+            # (nx semantics), so plain and encoded stay identical.
             renamed = vdict.withColumnRenamed("token", "orig")
             kwargs["personalization"] = pers.join(
                 renamed, pers["id"] == renamed["orig"]

@@ -194,7 +194,14 @@ def streaming_minhash_candidates(
     of inactivity. A pair that collides in k bands is emitted up to k
     times (dedup downstream with the exact-verify join, exactly like the
     batch path). With an unsaturated cap, the emitted pair SET equals the
-    batch ``minhash_lsh_pairs(verify_threshold=None)`` candidates."""
+    batch ``minhash_lsh_pairs(verify_threshold=None)`` candidates.
+
+    .. note:: **Checkpoint compatibility.** The state schema gained the
+       ``overflow`` column (was ``members array<string>`` only). Spark's
+       state-store schema check rejects a restart of an existing query
+       from a pre-change checkpoint at startup — resume such queries
+       from a FRESH checkpoint location (the operator is deterministic
+       per bucket; replaying the source rebuilds state)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

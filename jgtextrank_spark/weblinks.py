@@ -198,9 +198,12 @@ def canonicalize_url(url: Column) -> Column:
     column algebra (JVM-side, DuckDB-replayable):
 
     * scheme + host lowercased (``HTTP://Ex.Org/P`` → ``http://ex.org/P``
-      — path case is significant and kept),
+      — path case is significant and kept). Userinfo (``user:pass@``,
+      delimited by the first ``@`` in the authority — RFC 3986 forbids a
+      raw ``@`` inside userinfo) is case-SENSITIVE and preserved as-is,
     * default ports stripped (``http://h:80/`` → ``http://h/``,
-      ``https://h:443/`` → ``https://h/``),
+      ``https://h:443/`` → ``https://h/``) — keyed on the scheme alone,
+      so userinfo (with or without a colon) doesn't defeat the strip,
     * percent-escape hex uppercased (``%2f`` → ``%2F``, RFC 3986 §6.2.2.1)
       — only for valid two-hex-digit escapes, so a literal ``100%`` stays.
 
@@ -208,9 +211,20 @@ def canonicalize_url(url: Column) -> Column:
     :func:`idn_fold_host` (Arrow-batched pandas UDF, opt-in)."""
     origin = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
     rest = F.substr(url, F.length(origin) + 1)
-    o = F.lower(origin)
-    o = F.regexp_replace(o, r"^http://([^:/?#]+):80$", r"http://$1")
-    o = F.regexp_replace(o, r"^https://([^:/?#]+):443$", r"https://$1")
+    # split the authority: scheme :// [userinfo@] hostport — lowercase
+    # only scheme + hostport, keep userinfo byte-for-byte.
+    scheme = F.lower(
+        F.regexp_extract(origin, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.substr(origin, F.length(scheme) + 4)  # past "scheme://"
+    userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)  # "" when absent
+    hp = F.lower(F.substr(auth, F.length(userinfo) + 1))
+    hp = (
+        F.when(scheme == "http", F.regexp_replace(hp, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hp, r":443$", ""))
+        .otherwise(hp)
+    )
+    o = F.concat(scheme, F.lit("://"), userinfo, hp)
     u = F.when(origin == "", url).otherwise(F.concat(o, rest))
     # uppercase the two hex digits after each '%' (valid escapes only)
     parts = F.split(u, "%")

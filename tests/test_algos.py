@@ -4,6 +4,7 @@ pure-python implementations and the reference's own ops."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import networkx as nx
@@ -476,6 +477,55 @@ def test_neighborhood_exact_path_graph(spark):
         for v in G
     }
     assert got == want
+
+
+def test_core_numbers_unconverged_raises(spark):
+    """The h-index iteration is monotone from above: stopping at max_iter
+    leaves UPPER BOUNDS, not core numbers. The wrapper must refuse to
+    return them silently (round count is O(diameter); long chains exceed
+    small budgets). The peel path stays exact regardless."""
+    chain = [(i, i + 1) for i in range(30)]
+    df = _edges_df(spark, chain)
+    with pytest.raises(RuntimeError, match="without converging"):
+        core_numbers(df, algorithm="hindex", max_iter=3)
+    got = {
+        r["vertex"]: r["core"]
+        for r in core_numbers(df, algorithm="peel").collect()
+    }
+    assert set(got.values()) == {1}
+
+
+def test_hyperball_resume_n_t(spark, tmp_path):
+    """Checkpoint-resume must reconstruct the FULL neighborhood function:
+    per-superstep totals are persisted next to the checkpoints, so a
+    resumed run (which skips completed supersteps) returns the same n_t
+    as an uninterrupted one; a resume that cannot find the persisted
+    totals raises instead of returning a truncated profile."""
+    from jgtextrank_spark.algos.neighborhood import hyperball_result
+
+    edges = [(i, i + 1) for i in range(9)] + [
+        (100, 101), (101, 102), (100, 102),
+    ]
+    df = _edges_df(spark, edges)
+    _, n_t_full = hyperball_result(df, max_iter=32)
+
+    ckpt = str(tmp_path / "hb_ckpt")
+    res1, n_t1 = hyperball_result(
+        df, max_iter=3, checkpoint_every=2, checkpoint_dir=ckpt
+    )
+    assert not res1.converged and len(n_t1) == 4  # N(0)..N(3)
+    res2, n_t2 = hyperball_result(
+        df, max_iter=32, checkpoint_every=2, checkpoint_dir=ckpt
+    )
+    assert res2.converged
+    assert any(m["event"] == "resume" for m in res2.metrics)
+    assert n_t2 == n_t_full  # leading entries restored, not dropped
+
+    os.remove(os.path.join(ckpt, "hyperball_totals.json"))
+    with pytest.raises(RuntimeError, match="cannot reconstruct n_t"):
+        hyperball_result(
+            df, max_iter=32, checkpoint_every=2, checkpoint_dir=ckpt
+        )
 
 
 def test_hyperball_matches_exact_within_hll_error(spark):

@@ -151,7 +151,26 @@ def test_personalized_pagerank_parity(spark):
     # encode_ids path translates personalization ids through the dict
     got_enc = _collect(pagerank(edf, personalization=pdf, encode_ids=True))
     _assert_allclose(got_enc, got, atol=1e-12)
+    # ids ABSENT from the graph are ignored — nx normalizes p over its
+    # nodelist only, so phantom weights must not dilute the vector;
+    # plain and encoded paths must agree with nx AND each other
+    pers_phantom = dict(pers, **{"no-such-vertex": 99.0, "ghost": 7.0})
+    pdf2 = spark.createDataFrame(
+        list(pers_phantom.items()), "id string, weight double"
+    )
+    got_ph = _collect(pagerank(edf, personalization=pdf2))
+    _assert_allclose(got_ph, want)
+    got_ph_enc = _collect(
+        pagerank(edf, personalization=pdf2, encode_ids=True)
+    )
+    _assert_allclose(got_ph_enc, got_ph, atol=1e-12)
     # degenerate: all-zero weight table raises
     zero = spark.createDataFrame([("0", 0.0)], "id string, weight double")
     with pytest.raises(Exception, match="sum > 0"):
         pagerank(edf, personalization=zero)
+    # degenerate: positive weights but none in the graph also raises
+    allout = spark.createDataFrame(
+        [("ghost", 5.0)], "id string, weight double"
+    )
+    with pytest.raises(Exception, match="sum > 0"):
+        pagerank(edf, personalization=allout)
