@@ -511,6 +511,79 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (curation.repetition_signals) over
+    documents with deterministically injected duplicate lines (the raw
+    corpus is single-line, so line duplication is synthesized: two copies
+    of the 40-char prefix plus a unique id line). Bigram/trigram
+    fractions run on the real token streams. Oracle replays the line
+    algebra with DuckDB list ops and the gram counts with
+    generate_series unnesting."""
+    _prep(spark)
+    from jgtextrank_spark.functions.curation import repetition_signals
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return repetition_signals(docs)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (curation.pii_scrub) over documents with deterministic
+    synthesized PII appended (the corpus has none): every doc gets an
+    email, every third a phone, every fourth an IPv4 — so zero and
+    non-zero counts and all three redactions are exercised. Oracle
+    replays the same regexes in DuckDB (RE2 ∩ Java-regex subset)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.curation import pii_scrub
+
+    d = F.col("doc_id")
+    extra = F.concat(
+        F.lit(" reach u"), d.cast("string"),
+        F.lit("@ex"), (d % 5).cast("string"), F.lit(".org"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                     F.lit(".0.7")),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return pii_scrub(docs)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate, n=8): the
+    benchmark table is the 12-token prefix of every 50th document, so
+    those documents (and any doc sharing an exact 8-gram — the tiny
+    synthetic vocabulary makes cross-hits real) must flag. Oracle builds
+    the same gram sets via generate_series + list slicing."""
+    _prep(spark)
+    from jgtextrank_spark.functions.curation import decontaminate
+    from jgtextrank_spark.functions.textstats import tokens_expr
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(tokens_expr("text"), 1, 12), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 def q_dedup_exact(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.dedup import exact_duplicates
@@ -785,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1749,4 +1825,125 @@ SELECT doc_id,
                        ELSE s END)),
          '%') AS url
 FROM parts"""
+    # ---- curation operators -------------------------------------------
+    # duplicate-line + gram-repetition algebra replayed with DuckDB list
+    # ops and SELECT-unnest of generate_series (empty series drops the
+    # row, matching the Spark side's empty-gram-array + coalesce(0))
+    d["repetition"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 40) || chr(10)
+              || substr(text, 1, 40) || chr(10) || doc_id::VARCHAR AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, list_filter(string_split(t, chr(10)), s -> s <> '') AS ls
+  FROM raw
+),
+linef AS (
+  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         CASE WHEN len(ls) > 1
+              THEN round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                               / len(ls), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(t, ' '), s -> s <> '') AS tk
+  FROM raw
+),
+g2p AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+  FROM toks
+),
+g2c AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g, count(*) AS c
+  FROM g2p GROUP BY 1, 2
+),
+top2 AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS tb
+  FROM g2c GROUP BY 1
+),
+g3p AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+  FROM toks
+),
+g3c AS (
+  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g, count(*) AS c
+  FROM g3p GROUP BY 1, 2
+),
+dup3 AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / sum(c), 6) AS dt
+  FROM g3c GROUP BY 1
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+       coalesce(t2.tb, 0.0) AS top_bigram_frac,
+       coalesce(d3.dt, 0.0) AS dup_trigram_frac
+FROM linef l
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup3 d3 USING (doc_id)"""
+    # identical regexes on both engines (Java regex ∩ RE2 subset) —
+    # sourced from the library constants so they cannot drift
+    from jgtextrank_spark.functions.curation import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    d["pii_scrub"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' reach u' || doc_id::VARCHAR || '@ex'
+              || (doc_id % 5)::VARCHAR || '.org'
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN ' call 415-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END)
+              || (CASE WHEN doc_id % 4 = 0
+                       THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.7'
+                       ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM raw"""
+    # 8-gram benchmark-overlap check: same gram construction via list
+    # slicing; DISTINCT per doc before the join (a gram repeated inside
+    # one doc counts once)
+    d["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), s -> s <> '') AS tk
+  FROM documents
+),
+bench AS (SELECT tk[1:12] AS btk FROM toks WHERE doc_id % 50 = 0),
+bg1 AS (
+  SELECT btk, unnest(generate_series(1, greatest(len(btk) - 7, 0))) AS i
+  FROM bench
+),
+bgrams AS (SELECT DISTINCT array_to_string(btk[i:i+7], ' ') AS g FROM bg1),
+dg1 AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS i
+  FROM toks
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g FROM dg1
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_hits
+  FROM dgrams JOIN bgrams USING (g) GROUP BY 1
+)
+SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)"""
     return d

@@ -326,3 +326,104 @@ def test_resize_frames_audio_plumbing(spark):
 
     with pytest.raises(Exception, match="image decode requires"):
         resize_images(df, kernel="real").collect()
+
+
+# ------------------------------------------------------- curation operators
+def _py_ngrams(text, n):
+    toks = [t for t in text.split(" ") if t != ""]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition heuristics vs a pure-python mirror:
+    duplicate-line fraction, modal-bigram share, repeated-trigram
+    occurrence share."""
+    from collections import Counter
+
+    from jgtextrank_spark.functions.curation import repetition_signals
+
+    docs = [
+        (1, "a b\nc d\na b\n\ne f"),   # one duplicated line of four
+        (2, "x y x y x y x"),          # fully degenerate loop
+        (3, "one two three four"),     # all grams distinct
+        (4, "solo"),                   # no grams at all
+        (5, ""),                       # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    for doc_id, text in docs:
+        lines = [s for s in text.split("\n") if s != ""]
+        dup_line = (
+            1.0 - len(set(lines)) / len(lines) if len(lines) > 1 else 0.0
+        )
+        g2, g3 = Counter(_py_ngrams(text, 2)), Counter(_py_ngrams(text, 3))
+        top2 = max(g2.values()) / sum(g2.values()) if g2 else 0.0
+        dup3 = (
+            sum(c for c in g3.values() if c > 1) / sum(g3.values())
+            if g3
+            else 0.0
+        )
+        r = got[doc_id]
+        assert r["n_lines"] == len(lines)
+        assert abs(r["dup_line_frac"] - dup_line) < 1e-6, (doc_id, r)
+        assert abs(r["top_bigram_frac"] - top2) < 1e-6, (doc_id, r)
+        assert abs(r["dup_trigram_frac"] - dup3) < 1e-6, (doc_id, r)
+
+
+def test_pii_scrub(spark):
+    """Email/phone/IPv4 detection + redaction; emails redacted before the
+    phone pass; counts from the original text."""
+    from jgtextrank_spark.functions.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or c.d+e@f-g.org now"),
+            (2, "call 415-555-1234 or 415.555.9999 thanks"),
+            (3, "host 10.0.0.1 and 192.168.254.7, port 80"),
+            (4, "mixed: u1@ex.org 650 555 0000 at 127.0.0.1"),
+            (5, "clean text, no pii at all; 100% sure"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 0, 0)
+    assert got[1]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 2, 0)
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> thanks"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 2)
+    assert got[3]["clean_text"] == "host <IP> and <IP>, port 80"
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (1, 1, 1)
+    assert got[4]["clean_text"] == "mixed: <EMAIL> <PHONE> at <IP>"
+    assert (got[5]["n_emails"], got[5]["n_phones"], got[5]["n_ips"]) == (0, 0, 0)
+    assert got[5]["clean_text"] == "clean text, no pii at all; 100% sure"
+
+
+def test_decontaminate(spark):
+    """n-gram benchmark-overlap contamination check: exact-match docs and
+    superstring docs flagged, clean docs not; a gram repeated inside one
+    doc counts once; short docs (< n tokens) are handled."""
+    from jgtextrank_spark.functions.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "so the quick brown fox jumps high"),      # contains 3-grams
+            (2, "the quick brown dog sits"),               # shares only 2 of 3
+            (3, "quick brown fox quick brown fox"),        # repeated gram
+            (4, "totally unrelated text here now"),
+            (5, "fox"),                                    # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert got[1] == (3, True)
+    assert got[2] == (1, True)   # "the quick brown" present
+    assert got[3] == (1, True)   # distinct-per-doc: counted once
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
