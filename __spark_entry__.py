@@ -222,6 +222,43 @@ def q_components_per_doc(spark, sf_dir):
     )
 
 
+def q_scc_per_doc(spark, sf_dir):
+    """Strongly connected components of each document's DIRECTED token
+    co-occurrence digraph (forward pairs only — no symmetrization), via
+    the per-group path: one shuffle by doc_id, Tarjan per group in an
+    Arrow batch (scc.scc_per_group — the right plan for millions of
+    independent small graphs; the distributed rounds are gated on the
+    single big graph in scc_tokens). Component = min token of the SCC.
+    Oracle: directed transitive closure (recursive CTE) +
+    mutual-reachability min per doc."""
+    _prep(spark)
+    from jgtextrank_spark.algos.scc import scc_per_group
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW,
+        extra_cols=["doc_id"],
+    ).distinct()
+    return scc_per_group(pairs, group_col="doc_id").select(
+        "doc_id", F.col("vertex").alias("token"), "component"
+    )
+
+
+def q_scc_tokens(spark, sf_dir):
+    """SCC of the single corpus-wide directed token digraph through the
+    DISTRIBUTED trim + pointer-jump-accelerated forward coloring +
+    backward gather rounds (scc.strongly_connected_components — the
+    one-huge-web-graph path). Same closure oracle, no doc key."""
+    _prep(spark)
+    from jgtextrank_spark.algos.scc import strongly_connected_components
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    edges = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW
+    ).distinct()
+    return strongly_connected_components(edges)
+
+
 def q_pagerank_salted(spark, sf_dir):
     """Same spec as q_pagerank but through the explicit hub-skew path
     (salt-partitioned adjacency + two-stage contrib tree) — the oracle is
@@ -842,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "components_per_doc": q_components_per_doc,
         "components_star_per_doc": q_components_star_per_doc,
+        "scc_per_doc": q_scc_per_doc,
+        "scc_tokens": q_scc_tokens,
         "label_propagation": q_label_propagation,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
@@ -1490,6 +1529,62 @@ reach(doc_id, v, lbl) AS (
 )
 SELECT doc_id, v AS token, min(lbl) AS component
 FROM reach GROUP BY doc_id, v""",
+        # directed SCC: transitive closure of the forward-pair digraph,
+        # mutual reachability, min member id — independent of the
+        # trim/coloring/gather rounds the Spark side runs
+        "scc_per_doc": f"""
+WITH RECURSIVE {_TOK},
+dpairs AS (
+  SELECT DISTINCT a.doc_id, a.token AS src, b.token AS dst FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+reach(doc_id, a, b) AS (
+  SELECT doc_id, src, dst FROM dpairs WHERE src <> dst
+  UNION
+  SELECT r.doc_id, r.a, d.dst
+  FROM reach r JOIN dpairs d
+    ON d.doc_id = r.doc_id AND d.src = r.b AND d.src <> d.dst
+),
+mutual AS (
+  SELECT r1.doc_id, r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2
+    ON r1.doc_id = r2.doc_id AND r1.a = r2.b AND r1.b = r2.a
+),
+verts AS (
+  SELECT DISTINCT doc_id, src AS v FROM dpairs
+  UNION
+  SELECT DISTINCT doc_id, dst AS v FROM dpairs
+)
+SELECT vv.doc_id, vv.v AS token,
+       least(vv.v, coalesce(min(m.u), vv.v)) AS component
+FROM verts vv LEFT JOIN mutual m ON vv.doc_id = m.doc_id AND vv.v = m.v
+GROUP BY vv.doc_id, vv.v""",
+        "scc_tokens": f"""
+WITH RECURSIVE {_TOK},
+gpairs AS (
+  SELECT DISTINCT a.token AS src, b.token AS dst FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+reach(a, b) AS (
+  SELECT src, dst FROM gpairs WHERE src <> dst
+  UNION
+  SELECT r.a, p.dst
+  FROM reach r JOIN gpairs p ON p.src = r.b AND p.src <> p.dst
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+verts AS (
+  SELECT DISTINCT src AS v FROM gpairs
+  UNION
+  SELECT DISTINCT dst AS v FROM gpairs
+)
+SELECT vv.v AS vertex, least(vv.v, coalesce(min(m.u), vv.v)) AS component
+FROM verts vv LEFT JOIN mutual m ON vv.v = m.v
+GROUP BY vv.v""",
         "token_count": """
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT

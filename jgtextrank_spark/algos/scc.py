@@ -1,0 +1,346 @@
+"""Strongly connected components of a DIRECTED graph — two scale paths.
+
+The reference's component decomposition is undirected-only
+(``/root/reference/jgtextrank/core.py:614-642`` iterates
+``nx.connected_components``); a web link graph is directed, and its SCC
+structure (the bow-tie: giant SCC, IN/OUT tendrils) is the standard
+first question asked of a crawl. Two implementations, chosen by the
+shape of the workload:
+
+* :func:`strongly_connected_components` — ONE huge graph (the web
+  graph): distributed **trim + forward-coloring + backward-gather**
+  rounds (the FW-BW/coloring family: Orzan 2004; Hong et al. 2013;
+  Slota et al. 2014) as DataFrame supersteps. Trim peels vertices with
+  no in- or out-edges (the IN/OUT tendrils that dominate real crawls);
+  coloring is hash-min on the directed graph with the same
+  pointer-jumping acceleration as ``connected_components`` (sound
+  because color(v)=c means "c reaches v" and reachability composes), so
+  it converges in O(log diameter) supersteps; the backward frontier BFS
+  within each color class extracts every root's SCC simultaneously.
+  With arbitrary (effectively random) id-to-vertex assignment the
+  expected number of extract rounds is O(log n) — the same argument as
+  randomized parallel list ranking; the adversarial case is ids sorted
+  along an SCC chain.
+
+* :func:`scc_per_group` — MILLIONS of independent small graphs (one
+  per document/session/host): one shuffle by the group key, then
+  Tarjan's algorithm per group inside an Arrow-batched
+  ``applyInPandas``. A distributed fixpoint would synchronize 10^9
+  two-node graphs across O(max diameter) global barriers — strictly
+  worse than one co-partitioned pass. This is the same engineering
+  judgment as the repo's ``smallgraph.py`` driver fallback, but
+  distributed: each group solves locally on its executor, so total work
+  scales with executors. (The per-row-group Python cost is the
+  documented exception to the no-Python-hot-path rule: irregular
+  stack-based DFS per tiny graph has no bounded DataFrame-op form.)
+
+Both label every SCC by its minimum member id (the coloring root is the
+minimum of its SCC: a smaller member would reach the root and force a
+smaller color), matching the ``connected_components`` convention —
+deterministic, oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["strongly_connected_components", "scc_per_group"]
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_outer: int = 100,
+    max_inner: int = 500,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame ``(vertex, component)`` — component = min vertex id of
+    the strongly connected component. ``edges`` are directed
+    ``(src, dst)`` rows (weights ignored, self-loops irrelevant);
+    ``vertices`` (one column ``id``) may add isolated vertices.
+
+    Raises RuntimeError if a fixpoint loop exceeds its budget
+    (``max_inner`` supersteps for coloring/BFS; ``max_outer``
+    peel-extract rounds); partial SCC labels are never returned."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    E = _ckpt(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+    )
+    V = edges.select(F.col("src").alias("vertex")).unionByName(
+        edges.select(F.col("dst").alias("vertex"))
+    )
+    if vertices is not None:
+        V = V.unionByName(vertices.select(F.col("id").alias("vertex")))
+    V = _ckpt(V.distinct())
+
+    assigned: list[DataFrame] = []
+
+    for _outer in range(max_outer):
+        # ---- trim to fixpoint: no in-edges or no out-edges => singleton.
+        # 3 jobs per peel level (count / E-ckpt / V-ckpt), edge set only
+        # shrinks; eats the acyclic tendrils so coloring never sees them.
+        for _ in range(max_inner):
+            both = (
+                E.select(F.col("src").alias("vertex"))
+                .distinct()
+                .join(E.select(F.col("dst").alias("vertex")).distinct(),
+                      "vertex")
+            )
+            trimmed = _ckpt(
+                V.join(both, "vertex", "left_anti").withColumn(
+                    "component", F.col("vertex")
+                )
+            )
+            if trimmed.count() == 0:
+                break
+            assigned.append(trimmed)
+            V = _ckpt(V.join(trimmed.select("vertex"), "vertex", "left_anti"))
+            E = _ckpt(
+                E.join(V.select(F.col("vertex").alias("src")), "src").join(
+                    V.select(F.col("vertex").alias("dst")), "dst"
+                ).select("src", "dst")
+            )
+        else:
+            raise RuntimeError(
+                f"scc trim did not reach fixpoint in {max_inner} passes"
+            )
+        if V.count() == 0:
+            return _union_assigned(spark, assigned)
+
+        # ---- forward min-coloring to fixpoint, pointer-jump accelerated:
+        # color(v) <- min(color(v), min over in-edges color(u),
+        #                 color(color(v)))
+        colors = _ckpt(V.withColumn("color", F.col("vertex")))
+        for _ in range(max_inner):
+            cmin = (
+                E.join(
+                    colors.select(
+                        F.col("vertex").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("c_src").alias("cmin"))
+            )
+            stepped = colors.join(
+                cmin, colors["vertex"] == cmin["dst"], "left"
+            ).select(
+                "vertex",
+                F.least("color", F.coalesce("cmin", "color")).alias("color"),
+                F.col("color").alias("prev"),
+            )
+            parents = colors.select(
+                F.col("vertex").alias("p_vertex"),
+                F.col("color").alias("p_color"),
+            )
+            nxt = _ckpt(
+                stepped.join(
+                    parents, stepped["color"] == parents["p_vertex"], "left"
+                ).select(
+                    "vertex",
+                    F.least(
+                        "color", F.coalesce("p_color", "color")
+                    ).alias("color"),
+                    "prev",
+                )
+            )
+            changed = (
+                nxt.agg(
+                    F.sum(
+                        F.when(F.col("color") != F.col("prev"), 1).otherwise(0)
+                    ).alias("c")
+                ).collect()[0]["c"]
+                or 0
+            )
+            colors = nxt.select("vertex", "color")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc forward coloring did not converge in {max_inner} "
+                "supersteps (graph diameter exceeds the budget)"
+            )
+
+        # ---- backward gather within each color class (all roots at once)
+        c_src = colors.select(
+            F.col("vertex").alias("src"), F.col("color").alias("cs")
+        )
+        c_dst = colors.select(
+            F.col("vertex").alias("dst"), F.col("color").alias("cd")
+        )
+        Ec = _ckpt(
+            E.join(c_src, "src")
+            .join(c_dst, "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+        )
+        reached = _ckpt(
+            colors.filter(F.col("vertex") == F.col("color")).select("vertex")
+        )
+        frontier = reached
+        for _ in range(max_inner):
+            newly = _ckpt(
+                Ec.join(
+                    frontier.select(F.col("vertex").alias("dst")), "dst"
+                )
+                .select(F.col("src").alias("vertex"))
+                .distinct()
+                .join(reached, "vertex", "left_anti")
+            )
+            if newly.count() == 0:
+                break
+            reached = _ckpt(reached.unionByName(newly))
+            frontier = newly
+        else:
+            raise RuntimeError(
+                f"scc backward gather did not converge in {max_inner} steps"
+            )
+        assigned.append(
+            _ckpt(
+                reached.join(colors, "vertex").select(
+                    "vertex", F.col("color").alias("component")
+                )
+            )
+        )
+
+        # ---- remove the extracted SCCs and iterate on the remainder
+        V = _ckpt(V.join(reached, "vertex", "left_anti"))
+        if V.count() == 0:
+            return _union_assigned(spark, assigned)
+        E = _ckpt(
+            E.join(V.select(F.col("vertex").alias("src")), "src").join(
+                V.select(F.col("vertex").alias("dst")), "dst"
+            ).select("src", "dst")
+        )
+
+    raise RuntimeError(
+        f"scc did not finish in {max_outer} outer rounds (deeply chained "
+        "SCC structure); raise max_outer"
+    )
+
+
+def _union_assigned(spark, assigned: list[DataFrame]) -> DataFrame:
+    if not assigned:
+        return spark.createDataFrame([], "vertex string, component string")
+    out = assigned[0]
+    for df in assigned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _tarjan_components(edge_list, nodes):
+    """Iterative (explicit-stack) Tarjan: {vertex: min member of its SCC}.
+    Deterministic regardless of traversal order — SCC membership is a
+    graph property and the label is the set minimum."""
+    adj: dict = {}
+    for u, v in edge_list:
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    out: dict = {}
+    counter = 0
+    for s in nodes:
+        if s in index:
+            continue
+        work = [(s, iter(adj.get(s, ())))]
+        index[s] = low[s] = counter
+        counter += 1
+        stack.append(s)
+        onstack.add(s)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if not advanced:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        onstack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    root = min(comp)
+                    for w in comp:
+                        out[w] = root
+    return out
+
+
+def scc_per_group(
+    edges: DataFrame,
+    group_col: str = "doc_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SCCs of MANY independent small graphs at once: input
+    ``(group, src, dst)`` edge rows, output ``(group, vertex,
+    component)`` with component = min member id, for every endpoint of
+    every group.
+
+    One shuffle co-partitions each group's edges, then Tarjan solves
+    each graph locally (Arrow-batched ``applyInPandas`` — linear time
+    per group, zero global synchronization). This is the right plan when
+    the collection is huge but each graph is small (per-document token
+    digraphs, per-host page graphs): the distributed
+    :func:`strongly_connected_components` rounds would drag every tiny
+    graph through O(global diameter) barriers instead. Skew note: the
+    unit of parallelism is the group, so one pathological giant group
+    bounds the tail — route graphs above a size threshold to the
+    distributed path instead."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    gtype = dict(edges.dtypes)[group_col]
+    schema = (
+        f"{group_col} {gtype}, vertex string, component string"
+    )
+    sel = edges.select(
+        F.col(group_col),
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        pairs = list(zip(pdf["src"], pdf["dst"]))
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        comp = _tarjan_components(pairs, nodes)
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(nodes),
+                "vertex": nodes,
+                "component": [comp[n] for n in nodes],
+            }
+        )
+
+    return sel.groupBy(group_col).applyInPandas(solve, schema=schema)

@@ -630,3 +630,101 @@ def test_neighborhood_directed(spark):
     wanth = nx.harmonic_centrality(D.reverse())
     for v, w in wanth.items():
         assert abs(goth[v] - w) <= 0.05 * max(w, 1.0), (v, goth[v], w)
+
+
+# ----------------------------------------------------------------------- SCC
+def _scc_want(edges, extra=()):
+    D = nx.DiGraph()
+    D.add_edges_from((str(u), str(v)) for u, v in edges)
+    D.add_nodes_from(str(v) for v in extra)
+    return {
+        v: min(comp)
+        for comp in nx.strongly_connected_components(D)
+        for v in comp
+    }
+
+
+@pytest.mark.parametrize("seed,n,m", [(3, 18, 40), (5, 24, 60), (8, 30, 45)])
+def test_scc_vs_nx_random(spark, seed, n, m):
+    """Directed SCC (trim + forward coloring + backward gather) vs
+    nx.strongly_connected_components on random digraphs; component id is
+    the minimum member id."""
+    from jgtextrank_spark.algos.scc import strongly_connected_components
+
+    rng = random.Random(seed)
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    df = _edges_df(spark, edges)
+    got = {
+        r["vertex"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == _scc_want(edges)
+
+
+def test_scc_shapes(spark):
+    """Adversarial shapes: two cycles bridged one-way (distinct SCCs), an
+    acyclic chain (all singletons — pure trim), a self-loop, an isolated
+    vertex via the vertices arg, and a chain OF 2-cycles (forces multiple
+    outer extract rounds)."""
+    from jgtextrank_spark.algos.scc import strongly_connected_components
+
+    edges = [
+        (0, 1), (1, 2), (2, 0),            # cycle A
+        (10, 11), (11, 12), (12, 10),      # cycle B
+        (2, 10),                           # one-way bridge: A and B separate
+        (20, 21), (21, 22),                # chain: singletons
+        (30, 30),                          # self-loop: singleton
+        # chain of 2-cycles: {40,41} -> {42,43} -> {44,45}
+        (40, 41), (41, 40), (41, 42),
+        (42, 43), (43, 42), (43, 44),
+        (44, 45), (45, 44),
+    ]
+    df = _edges_df(spark, edges)
+    verts = spark.createDataFrame([("99",)], "id string")
+    got = {
+        r["vertex"]: r["component"]
+        for r in strongly_connected_components(df, vertices=verts).collect()
+    }
+    assert got == _scc_want(edges, extra=[99])
+    assert got["0"] == "0" and got["12"] == "10"
+    assert got["41"] == "40" and got["43"] == "42" and got["45"] == "44"
+    assert got["99"] == "99"
+
+
+def test_scc_per_group_parity(spark):
+    """The per-group Tarjan path (one shuffle + Arrow-batched local
+    solve, for millions-of-small-graphs workloads) produces identical
+    (group, vertex, min-member component) rows as networkx per group and
+    as the distributed path run per group."""
+    from jgtextrank_spark.algos.scc import (
+        scc_per_group,
+        strongly_connected_components,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for g in range(6):
+        n = 5 + g * 3
+        for _ in range(3 * n):
+            rows.append((g, str(rng.randrange(n)), str(rng.randrange(n))))
+    df = spark.createDataFrame(rows, "doc_id long, src string, dst string")
+    got = {
+        (r["doc_id"], r["vertex"]): r["component"]
+        for r in scc_per_group(df, group_col="doc_id").collect()
+    }
+    for g in range(6):
+        sub = [(s, d) for gg, s, d in rows if gg == g]
+        want = _scc_want(sub)
+        for v, comp in want.items():
+            assert got[(g, v)] == comp, (g, v)
+        dist = {
+            r["vertex"]: r["component"]
+            for r in strongly_connected_components(
+                spark.createDataFrame(sub, "src string, dst string")
+            ).collect()
+        }
+        assert dist == want
+    assert len(got) == sum(
+        len(_scc_want([(s, d) for gg, s, d in rows if gg == g]))
+        for g in range(6)
+    )
