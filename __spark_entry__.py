@@ -463,6 +463,18 @@ def q_web_link_edges(spark, sf_dir):
     return link_edges(_synth_pages(spark, sf_dir))
 
 
+def q_link_prediction(spark, sf_dir):
+    """CN / Jaccard / Adamic-Adar link prediction over the symmetrized
+    synthesized page link graph (exact mode, no hub guard — the guard is
+    unit-tested). Oracle replays the wedge/degree algebra on the
+    closed-form edge CTE."""
+    _prep(spark)
+    from jgtextrank_spark.algos.linkpred import link_prediction
+    from jgtextrank_spark.weblinks import link_edges
+
+    return link_prediction(link_edges(_synth_pages(spark, sf_dir)))
+
+
 def q_web_text_extract(spark, sf_dir):
     """HTML -> visible-text extraction over the synthesized pages. The
     oracle reconstructs the expected text in closed form (document text
@@ -889,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_diff": q_edge_diff,
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
+        "link_prediction": q_link_prediction,
         "web_host_pagerank": q_web_host_pagerank,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
@@ -1841,6 +1854,38 @@ FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
+    # link prediction: wedge/degree algebra over the symmetrized
+    # closed-form page graph — non-adjacent pairs with >= 1 common
+    # neighbor, Adamic-Adar on natural log of the center degree
+    d["link_prediction"] = f"""
+WITH {_WEB_LINK_EDGES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+adj AS (
+  SELECT a AS w, b AS n FROM und UNION ALL SELECT b AS w, a AS n FROM und
+),
+deg AS (SELECT w, count(*)::BIGINT AS deg FROM adj GROUP BY w),
+wed AS (
+  SELECT l.n AS u, r.n AS v, d.deg
+  FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+  JOIN deg d ON d.w = l.w
+),
+sc AS (
+  SELECT u, v, count(*)::BIGINT AS cn, sum(1.0 / ln(deg)) AS aa
+  FROM wed GROUP BY u, v
+),
+nonadj AS (
+  SELECT sc.u, sc.v, sc.cn, sc.aa
+  FROM sc LEFT JOIN und ON und.a = sc.u AND und.b = sc.v
+  WHERE und.a IS NULL
+)
+SELECT n.u, n.v, n.cn,
+       round(CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn), 6) AS jaccard,
+       round(n.aa, 6) AS adamic_adar
+FROM nonadj n
+JOIN deg du ON du.w = n.u
+JOIN deg dv ON dv.w = n.v"""
     d["web_text_extract"] = f"""
 WITH {_WEB_BASE},
 ct AS (

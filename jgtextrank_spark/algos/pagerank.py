@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..supersteps import SuperstepResult, run_supersteps
 
-__all__ = ["pagerank", "pagerank_result"]
+__all__ = ["pagerank", "pagerank_result", "trustrank", "spam_mass"]
 
 
 def pagerank_result(
@@ -306,3 +306,41 @@ def pagerank(
         edges, vertices, alpha=alpha, max_iter=max_iter, tol=tol, **kwargs
     )
     return result.state.select("vertex", F.col("rank").alias("score"))
+
+
+def trustrank(
+    edges: DataFrame, trusted: DataFrame, **kwargs
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): personalized
+    PageRank whose teleport (and dangling-mass) vector is UNIFORM over a
+    hand-vetted trusted seed set — trust flows out along links and decays
+    with distance from the seeds. ``trusted`` has one column ``id``;
+    seeds absent from the graph are ignored (nx normalization semantics).
+    Returns ``(vertex, score)``. A thin, documented specialization of
+    :func:`pagerank` — same superstep plan, same salting/encoding
+    options via kwargs."""
+    pers = trusted.select("id", F.lit(1.0).alias("weight"))
+    return pagerank(edges, personalization=pers, **kwargs)
+
+
+def spam_mass(
+    edges: DataFrame, trusted: DataFrame, **kwargs
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al. 2005, "Link Spam Detection
+    Based on Mass Estimation"): ``(pr - trust) / pr`` per vertex, where
+    ``pr`` is plain PageRank and ``trust`` is :func:`trustrank` from the
+    seed set — the fraction of a page's rank NOT accounted for by trusted
+    sources. Near 1 ⇒ rank comes from the untrusted web (spam-farm
+    signature); near or below 0 ⇒ trust-dominated. Returns ``(vertex,
+    pr, trust, spam_mass)``. Two superstep runs over the SAME cached
+    adjacency shape; the final join is vertex-sized."""
+    pr = pagerank(edges, **kwargs).withColumnRenamed("score", "pr")
+    tr = trustrank(edges, trusted, **kwargs).withColumnRenamed(
+        "score", "trust"
+    )
+    return pr.join(tr, "vertex").select(
+        "vertex",
+        "pr",
+        "trust",
+        ((F.col("pr") - F.col("trust")) / F.col("pr")).alias("spam_mass"),
+    )

@@ -728,3 +728,84 @@ def test_scc_per_group_parity(spark):
         len(_scc_want([(s, d) for gg, s, d in rows if gg == g]))
         for g in range(6)
     )
+
+
+# ------------------------------------------------------------ link prediction
+def test_link_prediction_vs_nx(spark):
+    """CN / Jaccard / Adamic-Adar over non-adjacent distance-2 pairs vs
+    networkx's link-prediction functions (which enumerate all non-edges:
+    our rows must equal their positive-score subset exactly)."""
+    from jgtextrank_spark.algos.linkpred import link_prediction
+
+    edges = _rand_graph(seed=21, n=30, m=60)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    got = {(r["u"], r["v"]): r for r in link_prediction(df).collect()}
+    want_j = {
+        tuple(sorted((u, v))): p
+        for u, v, p in nx.jaccard_coefficient(G)
+        if p > 0
+    }
+    want_aa = {
+        tuple(sorted((u, v))): p for u, v, p in nx.adamic_adar_index(G)
+    }
+    assert got.keys() == want_j.keys()
+    for pair, p in want_j.items():
+        r = got[pair]
+        assert abs(r["jaccard"] - p) <= 1e-6, (pair, r["jaccard"], p)
+        assert abs(r["adamic_adar"] - want_aa[pair]) <= 1e-6
+        assert r["cn"] == len(
+            list(nx.common_neighbors(G, pair[0], pair[1]))
+        )
+
+
+def test_link_prediction_hub_guard(spark):
+    """max_center_degree skips super-hub wedge centers (the quadratic
+    blow-up guard): pairs whose ONLY common neighbor is the hub vanish;
+    other pairs lose only the hub's contribution."""
+    from jgtextrank_spark.algos.linkpred import link_prediction
+
+    # hub 0 adjacent to 1..6; plus a triangle base 1-2 via center 7
+    edges = [(0, i) for i in range(1, 7)] + [(7, 1), (7, 2)]
+    df = _edges_df(spark, edges)
+    full = {(r["u"], r["v"]): r["cn"] for r in link_prediction(df).collect()}
+    assert full[("1", "2")] == 2  # centers 0 and 7
+    assert full[("3", "4")] == 1  # center 0 only
+    guarded = {
+        (r["u"], r["v"]): r["cn"]
+        for r in link_prediction(df, max_center_degree=2).collect()
+    }
+    assert guarded[("1", "2")] == 1      # hub contribution gone
+    assert ("3", "4") not in guarded     # hub was the only center
+
+
+def test_trustrank_and_spam_mass(spark):
+    """TrustRank = personalized PageRank with uniform seed teleport (nx
+    parity); spam mass isolates rank not reachable from the trusted set
+    (a spam-farm vertex cluster scores ~1; seeds score low)."""
+    from oracle.nxparity import pagerank_nx
+
+    from jgtextrank_spark.algos.pagerank import spam_mass, trustrank
+
+    # "good" core 0-1-2 interlinked; spam farm 10-11-12 links only to
+    # itself and into 0 (rank sink boosting)
+    edges = [
+        (0, 1), (1, 2), (2, 0), (1, 0),
+        (10, 11), (11, 12), (12, 10), (11, 10),
+        (10, 0),
+    ]
+    df = _edges_df(spark, edges)
+    seeds = spark.createDataFrame([("0",), ("1",)], "id string")
+    got = {
+        r["vertex"]: r["score"] for r in trustrank(df, seeds).collect()
+    }
+    D = nx.DiGraph()
+    D.add_edges_from((str(u), str(v)) for u, v in edges)
+    want = pagerank_nx(D, personalization={"0": 1.0, "1": 1.0})
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-6
+    sm = {r["vertex"]: r["spam_mass"] for r in spam_mass(df, seeds).collect()}
+    assert sm["11"] > 0.9 and sm["12"] > 0.9  # unreachable from seeds
+    assert sm["0"] < 0.5 and sm["1"] < 0.1
