@@ -29,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 WINDOW = 2  # co-occurrence window for the documents token graph
 PR_ITERS = 20  # fixed supersteps for the SQL-comparable PageRank query
+HITS_ITERS = 10  # fixed supersteps for the SQL-comparable HITS query
 ANN_K = 5
 ANN_QUERIES = 20
 JACCARD_T = 0.2
@@ -475,6 +476,24 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(link_edges(_synth_pages(spark, sf_dir)))
 
 
+def q_hits_hosts(spark, sf_dir):
+    """HITS hubs/authorities on the directed weighted host graph, fixed
+    supersteps (nx semantics: raw a = A^T h, raw h = A a, per-iteration
+    max-normalization, final sum-normalization). Oracle is the unrolled
+    MATERIALIZED CTE chain of the same recurrence."""
+    _prep(spark)
+    from jgtextrank_spark.algos.centrality import hits
+    from jgtextrank_spark.weblinks import host_edges, link_edges
+
+    he = host_edges(link_edges(_synth_pages(spark, sf_dir)))
+    out = hits(he, max_iter=HITS_ITERS, tol=0.0, checkpoint_every=0)
+    return out.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_web_text_extract(spark, sf_dir):
     """HTML -> visible-text extraction over the synthesized pages. The
     oracle reconstructs the expected text in closed form (document text
@@ -903,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_edges": q_web_link_edges,
         "link_prediction": q_link_prediction,
         "web_host_pagerank": q_web_host_pagerank,
+        "hits_hosts": q_hits_hosts,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
         "token_count": q_token_count,
@@ -1177,6 +1197,62 @@ edges AS (
   WHERE t1 <> doc_id AND (t1 % 7) <> (doc_id % 7)
   GROUP BY 1, 2
 )"""
+
+
+def _hits_sql(iters: int, edges_cte: str) -> str:
+    """Unrolled HITS recurrence over a directed weighted ``edges(src,
+    dst, weight)`` CTE, exactly mirroring nx _hits_python / our solver:
+    per iteration raw a = A^T h (RAW h of the previous normalized
+    state), raw h = A a using the RAW a, then each vector divided by its
+    max; after the last iteration both divided by their sums. CTEs are
+    MATERIALIZED (DuckDB inlines long iterative chains exponentially
+    otherwise)."""
+    ctes = [
+        edges_cte,
+        """
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM verts),
+h0 AS (SELECT v, 1.0 / (SELECT cnt FROM nn) AS h FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(e.weight * h.h) AS a
+  FROM edges e JOIN h{i - 1} h ON h.v = e.src GROUP BY e.dst
+),
+af{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(ar.a, 0.0) AS a
+  FROM verts LEFT JOIN ar{i} ar ON ar.v = verts.v
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS v, sum(e.weight * af.a) AS h
+  FROM edges e JOIN af{i} af ON af.v = e.dst GROUP BY e.src
+),
+hf{i} AS MATERIALIZED (
+  SELECT verts.v, coalesce(hr.h, 0.0) AS h
+  FROM verts LEFT JOIN hr{i} hr ON hr.v = verts.v
+),
+h{i} AS MATERIALIZED (
+  SELECT v, h / (SELECT max(h) FROM hf{i}) AS h FROM hf{i}
+),
+a{i} AS MATERIALIZED (
+  SELECT v, a / (SELECT max(a) FROM af{i}) AS a FROM af{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT h.v AS vertex,
+       round(h.h / (SELECT sum(h) FROM h{iters}), 6) AS hub,
+       round(a.a / (SELECT sum(a) FROM a{iters}), 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.v = h.v"""
+    )
 
 
 def _pagerank_sql_directed(iters: int, edges_cte: str) -> str:
@@ -1854,6 +1930,7 @@ FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
     d["web_link_edges"] = (
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
+    d["hits_hosts"] = _hits_sql(HITS_ITERS, _WEB_HOST_EDGES)
     # link prediction: wedge/degree algebra over the symmetrized
     # closed-form page graph — non-adjacent pairs with >= 1 common
     # neighbor, Adamic-Adar on natural log of the center degree
