@@ -171,6 +171,31 @@ def bench_hyperball(
     }
 
 
+def bench_scc_distributed(
+    spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000
+) -> dict:
+    """Distributed SCC (trim + accelerated coloring + backward gather) on
+    the power-law DIGRAPH — the generator yields the bow-tie regime: one
+    giant SCC over the hub core plus ~1% acyclic tendril vertices that
+    trim peels."""
+    from jgtextrank_spark.algos.scc import strongly_connected_components
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    scc = strongly_connected_components(edges)
+    n = scc.count()
+    wall = time.time() - t0
+    n_comp = scc.select("component").distinct().count()
+    edges.unpersist()
+    return {
+        "vertices": n,
+        "edges": n_edges,
+        "components": n_comp,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_salted_pagerank(
     spark: SparkSession, edges: DataFrame, iters: int = 5
 ) -> dict:
@@ -333,6 +358,27 @@ def main() -> None:
         "web_links_and_host_pagerank",
         lambda: entrymod.q_web_host_pagerank(spark, sf_dir).collect(),
     )
+    timed(
+        "scc_per_doc",
+        lambda: entrymod.q_scc_per_doc(spark, sf_dir).count(),
+    )
+    timed(
+        "link_prediction_web",
+        lambda: entrymod.q_link_prediction(spark, sf_dir).count(),
+    )
+    timed(
+        "curation_filters",
+        lambda: (
+            entrymod.q_repetition(spark, sf_dir).count(),
+            entrymod.q_pii_scrub(spark, sf_dir).count(),
+            entrymod.q_decontaminate(spark, sf_dir).count(),
+        ),
+    )
+
+    # distributed SCC rounds on the 2M-edge power-law digraph (giant SCC
+    # + ~1% tendrils under this generator — the bow-tie regime)
+    scc_detail = bench_scc_distributed(spark)
+    queries["scc_powerlaw_2m"] = scc_detail["wall_sec"]
 
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
@@ -355,6 +401,7 @@ def main() -> None:
             "cc_star_contraction": cc_contract,
             "coreness_hindex": kcore,
             "hyperball": hb,
+            "scc_distributed": scc_detail,
         },
     }
     print(json.dumps(out))

@@ -82,6 +82,34 @@ CHECKS = {
     "dedup_exact": [
         ("single aggregate exchange", lambda p: p.count("Exchange") <= 3),
     ],
+    "pii_scrub": [
+        ("pure map: no shuffle at all", lambda p: "Exchange" not in p),
+        ("JVM-side regex algebra, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "repetition": [
+        ("no self-join: grams generated per-row, counted by groupBy",
+         lambda p: "CartesianProduct" not in p),
+        ("gram counts partial-aggregate (map-side combine) before the"
+         " exchange", lambda p: "partial" in p.lower()),
+    ],
+    "decontaminate": [
+        ("benchmark gram side broadcast (tiny vs the corpus)",
+         lambda p: "Broadcast" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "link_prediction": [
+        ("wedge join is a keyed equi-join on the center, no cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("non-adjacent filter is an anti join, not a quadratic"
+         " enumeration", lambda p: "LeftAnti" in p),
+    ],
+    "scc_per_doc": [
+        ("per-group solve is ONE Arrow batch op after one group-key"
+         " exchange", lambda p: "FlatMapGroupsInPandas" in p
+         or "FlatMapGroupsInArrow" in p),
+    ],
 }
 
 
@@ -105,7 +133,8 @@ def main():
         "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
         "dedup_minhash_lsh", "embedding_near_dup", "triangle_count",
         "top_tokens", "web_link_edges", "web_text_extract",
-        "url_canonical",
+        "url_canonical", "pii_scrub", "repetition", "decontaminate",
+        "link_prediction", "scc_per_doc",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
