@@ -223,6 +223,43 @@ def q_components_per_doc(spark, sf_dir):
     )
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected token graph (graphstats) —
+    two partial aggregations; oracle replays the mirror/deg/histogram
+    algebra."""
+    _prep(spark)
+    from jgtextrank_spark.algos.graphstats import degree_distribution
+
+    return degree_distribution(_doc_edges(spark, sf_dir))
+
+
+def q_graph_stats(spark, sf_dir):
+    """Corpus-level scalars in one row: degree assortativity (Pearson
+    over the edge-endpoint degree pairs, symmetric estimator) and the
+    weighted Newman modularity of the first-letter token partition.
+    Oracle mirrors the exact arithmetic expression shape so IEEE results
+    agree bit-for-bit before the 6-dp round."""
+    _prep(spark)
+    from jgtextrank_spark.algos.graphstats import (
+        degree_assortativity,
+        modularity,
+    )
+
+    edges = _doc_edges(spark, sf_dir)
+    r = degree_assortativity(edges)
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .select("vertex", F.substring("vertex", 1, 1).alias("label"))
+    )
+    q = modularity(edges, labels)
+    return spark.createDataFrame(
+        [(round(r, 6), round(q, 6))],
+        "assortativity double, modularity double",
+    )
+
+
 def q_scc_per_doc(spark, sf_dir):
     """Strongly connected components of each document's DIRECTED token
     co-occurrence digraph (forward pairs only — no symmetrization), via
@@ -912,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_per_doc": q_components_star_per_doc,
         "scc_per_doc": q_scc_per_doc,
         "scc_tokens": q_scc_tokens,
+        "degree_distribution": q_degree_distribution,
+        "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
@@ -1931,6 +1970,55 @@ FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
     d["hits_hosts"] = _hits_sql(HITS_ITERS, _WEB_HOST_EDGES)
+    d["degree_distribution"] = f"""
+WITH {_EDGES},
+und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),
+adj AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT u, count(*)::BIGINT AS degree FROM adj GROUP BY u)
+SELECT degree, count(*)::BIGINT AS n_vertices FROM deg GROUP BY degree"""
+    # expression shapes mirror graphstats.py exactly (same IEEE op order)
+    d["graph_stats"] = f"""
+WITH {_EDGES},
+und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),
+adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+),
+deg AS (SELECT u, count(*)::DOUBLE AS d FROM adj GROUP BY u),
+j AS (
+  SELECT d1.d AS x, d2.d AS y
+  FROM adj JOIN deg d1 ON d1.u = adj.u JOIN deg d2 ON d2.u = adj.v
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM j
+),
+assort AS (
+  SELECT (sxy / n - (sx / n) * (sy / n))
+         / sqrt((sxx / n - (sx / n) * (sx / n))
+                * (syy / n - (sy / n) * (sy / n))) AS r
+  FROM s
+),
+undw AS (
+  SELECT src AS a, dst AS b, max(weight) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+lab AS (
+  SELECT a, b, w, substr(a, 1, 1) AS ca, substr(b, 1, 1) AS cb FROM undw
+),
+mm AS (SELECT sum(w) AS m FROM lab),
+intra AS (SELECT coalesce(sum(w), 0.0) AS s FROM lab WHERE ca = cb),
+degs AS (
+  SELECT c, sum(w) AS dc FROM (
+    SELECT ca AS c, w FROM lab UNION ALL SELECT cb AS c, w FROM lab
+  ) GROUP BY c
+),
+s2 AS (SELECT sum(dc * dc) AS s2 FROM degs)
+SELECT round((SELECT r FROM assort), 6) AS assortativity,
+       round((SELECT s FROM intra) / (SELECT m FROM mm)
+             - (SELECT s2 FROM s2)
+               / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)),
+             6) AS modularity"""
     # link prediction: wedge/degree algebra over the symmetrized
     # closed-form page graph — non-adjacent pairs with >= 1 common
     # neighbor, Adamic-Adar on natural log of the center degree

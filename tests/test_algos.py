@@ -809,3 +809,76 @@ def test_trustrank_and_spam_mass(spark):
     sm = {r["vertex"]: r["spam_mass"] for r in spam_mass(df, seeds).collect()}
     assert sm["11"] > 0.9 and sm["12"] > 0.9  # unreachable from seeds
     assert sm["0"] < 0.5 and sm["1"] < 0.1
+
+
+# ------------------------------------------------------------ graph statistics
+def test_degree_distribution(spark):
+    from collections import Counter
+
+    from jgtextrank_spark.algos.graphstats import degree_distribution
+
+    edges = _rand_graph(seed=31, n=25, m=60)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = Counter(d for _, d in G.degree())
+    got = {
+        r["degree"]: r["n_vertices"]
+        for r in degree_distribution(df).collect()
+    }
+    assert got == dict(want)
+
+
+def test_degree_assortativity_vs_nx(spark):
+    from jgtextrank_spark.algos.graphstats import degree_assortativity
+
+    for seed in (3, 11):
+        edges = _rand_graph(seed=seed, n=30, m=70)
+        df = _edges_df(spark, edges)
+        G = _nx_graph(edges)
+        G.remove_edges_from(nx.selfloop_edges(G))
+        want = nx.degree_assortativity_coefficient(G)
+        got = degree_assortativity(df)
+        assert abs(got - want) <= 1e-9, (seed, got, want)
+    # star graph: perfectly disassortative
+    star = _edges_df(spark, [(0, i) for i in range(1, 8)])
+    assert degree_assortativity(star) == -1.0
+
+
+def test_modularity_vs_nx(spark):
+    """Weighted + unweighted modularity vs nx.community.modularity, on
+    the LPA partition and on a hand partition."""
+    from jgtextrank_spark.algos.graphstats import modularity
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    df = spark.createDataFrame(
+        [(str(u), str(v), 1.0 + (u + v) % 3) for u, v in edges],
+        "src string, dst string, weight double",
+    )
+    part = {"0": "A", "1": "A", "2": "A", "3": "B", "4": "B", "5": "B"}
+    labels = spark.createDataFrame(
+        list(part.items()), "vertex string, label string"
+    )
+    G = nx.Graph()
+    for u, v in edges:
+        G.add_edge(str(u), str(v), weight=1.0 + (u + v) % 3)
+    comms = [{v for v, c in part.items() if c == k} for k in ("A", "B")]
+    want_w = nx.community.modularity(G, comms, weight="weight")
+    got_w = modularity(df, labels)
+    assert abs(got_w - want_w) <= 1e-12
+    want_u = nx.community.modularity(G, comms, weight=None)
+    got_u = modularity(df, labels, weight_col=None)
+    assert abs(got_u - want_u) <= 1e-12
+
+    from jgtextrank_spark.algos.labelprop import label_propagation
+
+    lp = label_propagation(
+        df.select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    q = modularity(df.select("src", "dst"), lp, weight_col=None)
+    comms_lp = {}
+    for r in lp.collect():
+        comms_lp.setdefault(r["label"], set()).add(r["vertex"])
+    G2 = _nx_graph(edges)
+    want_lp = nx.community.modularity(G2, comms_lp.values(), weight=None)
+    assert abs(q - want_lp) <= 1e-12
