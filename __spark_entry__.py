@@ -531,6 +531,23 @@ def q_hits_hosts(spark, sf_dir):
     )
 
 
+def q_salsa_pages(spark, sf_dir):
+    """SALSA hub/authority scores on the synthesized page link graph via
+    the Lempel-Moran closed form (bipartite-support connected components
+    + degree algebra — zero iteration). Oracle replays components with a
+    recursive CTE and mirrors the entitlement arithmetic."""
+    _prep(spark)
+    from jgtextrank_spark.algos.salsa import salsa
+    from jgtextrank_spark.weblinks import link_edges
+
+    out = salsa(link_edges(_synth_pages(spark, sf_dir)))
+    return out.select(
+        "vertex",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_web_text_extract(spark, sf_dir):
     """HTML -> visible-text extraction over the synthesized pages. The
     oracle reconstructs the expected text in closed form (document text
@@ -962,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "web_host_pagerank": q_web_host_pagerank,
         "hits_hosts": q_hits_hosts,
+        "salsa_pages": q_salsa_pages,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
         "token_count": q_token_count,
@@ -1970,6 +1988,71 @@ FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
     d["hits_hosts"] = _hits_sql(HITS_ITERS, _WEB_HOST_EDGES)
+    # SALSA closed form: bipartite-support components (recursive CTE) +
+    # per-component degree sums + side entitlement, mirroring salsa.py's
+    # arithmetic shape
+    d["salsa_pages"] = f"""
+WITH RECURSIVE {_WEB_LINK_EDGES},
+slinks AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+bip AS (SELECT 'H|' || src AS a, 'A|' || dst AS b FROM slinks),
+badj AS (SELECT a, b FROM bip UNION SELECT b AS a, a AS b FROM bip),
+reach(v, lbl) AS (
+  SELECT a, a FROM badj
+  UNION
+  SELECT d.b, r.lbl FROM reach r JOIN badj d ON d.a = r.v
+),
+comp AS (SELECT v, min(lbl) AS component FROM reach GROUP BY v),
+outd AS (
+  SELECT src AS vertex, count(*)::BIGINT AS deg FROM slinks GROUP BY src
+),
+ind AS (
+  SELECT dst AS vertex, count(*)::BIGINT AS deg FROM slinks GROUP BY dst
+),
+hl AS (
+  SELECT o.vertex, o.deg, c.component
+  FROM outd o JOIN comp c ON c.v = 'H|' || o.vertex
+),
+hn AS (SELECT count(*)::DOUBLE AS n FROM hl),
+hc AS (
+  SELECT component, sum(deg) AS cdeg, count(*) AS cn
+  FROM hl GROUP BY component
+),
+hub AS (
+  SELECT hl.vertex,
+         (hc.cn::DOUBLE / (SELECT n FROM hn)) * hl.deg::DOUBLE / hc.cdeg
+           AS hub
+  FROM hl JOIN hc USING (component)
+),
+al AS (
+  SELECT i.vertex, i.deg, c.component
+  FROM ind i JOIN comp c ON c.v = 'A|' || i.vertex
+),
+an AS (SELECT count(*)::DOUBLE AS n FROM al),
+ac AS (
+  SELECT component, sum(deg) AS cdeg, count(*) AS cn
+  FROM al GROUP BY component
+),
+auth AS (
+  SELECT al.vertex,
+         (ac.cn::DOUBLE / (SELECT n FROM an)) * al.deg::DOUBLE / ac.cdeg
+           AS authority
+  FROM al JOIN ac USING (component)
+),
+allv AS (
+  -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+  -- clause DuckDB gives every UNION CTE recursive semantics (no
+  -- cross-branch dedup for non-self-referencing bodies)
+  SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM slinks
+    UNION ALL
+    SELECT dst AS vertex FROM slinks
+  )
+)
+SELECT v.vertex, round(coalesce(h.hub, 0.0), 6) AS hub,
+       round(coalesce(a.authority, 0.0), 6) AS authority
+FROM allv v
+LEFT JOIN hub h ON h.vertex = v.vertex
+LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["degree_distribution"] = f"""
 WITH {_EDGES},
 und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),

