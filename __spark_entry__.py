@@ -531,6 +531,17 @@ def q_hits_hosts(spark, sf_dir):
     )
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index (dst, anchor, n) over the synthesized pages:
+    labels 'a'/'b'/'c' per link class, javascript anchors dropped, self
+    links dropped. Oracle derives the expected rows in closed form from
+    the page arithmetic — independent of the anchor regexes."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import anchor_text_table
+
+    return anchor_text_table(_synth_pages(spark, sf_dir))
+
+
 def q_salsa_pages(spark, sf_dir):
     """SALSA hub/authority scores on the synthesized page link graph via
     the Lempel-Moran closed form (bipartite-support connected components
@@ -980,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": q_web_host_pagerank,
         "hits_hosts": q_hits_hosts,
         "salsa_pages": q_salsa_pages,
+        "anchor_text": q_anchor_text,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
         "token_count": q_token_count,
@@ -1988,6 +2000,23 @@ FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst"""
         f"WITH {_WEB_LINK_EDGES} SELECT src, dst, weight FROM edges"
     )
     d["hits_hosts"] = _hits_sql(HITS_ITERS, _WEB_HOST_EDGES)
+    # anchor-text index: closed-form labels per link class from the page
+    # arithmetic (independent of the anchor-element regexes)
+    d["anchor_text"] = f"""
+WITH {_WEB_BASE},
+lk AS (
+  SELECT src,
+         'https://h' || (t1 % 7)::VARCHAR || '.example.org/d/'
+           || t1::VARCHAR || '.html' AS dst,
+         'a' AS anchor
+  FROM base
+  UNION ALL
+  SELECT src, origin || '/d/' || t2::VARCHAR || '.html', 'b' FROM base
+  UNION ALL
+  SELECT src, dir || 'rel' || t2::VARCHAR || '.html', 'c' FROM base
+)
+SELECT dst, anchor, count(*)::BIGINT AS n
+FROM lk WHERE src <> dst GROUP BY dst, anchor"""
     # SALSA closed form: bipartite-support components (recursive CTE) +
     # per-component degree sums + side entitlement, mirroring salsa.py's
     # arithmetic shape

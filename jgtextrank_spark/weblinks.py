@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "HREF_PATTERN",
     "HREF_PATTERN_UNQUOTED",
+    "ANCHOR_PATTERN",
+    "ANCHOR_PATTERN_UNQUOTED",
     "extract_hrefs",
+    "extract_anchor_texts",
+    "anchor_text_table",
     "resolve_href",
     "normalize_dot_segments",
     "canonicalize_url",
@@ -101,6 +105,90 @@ def extract_hrefs(
                 ),
             )
         ).alias("href"),
+    )
+
+
+# full anchor elements, DOTALL so multi-line anchors match: quoted
+# (groups: 1 quote, 2 href, 3 inner html) and unquoted (1 href, 2 inner)
+ANCHOR_PATTERN = (
+    r"""(?is)<a\s[^>]*href\s*=\s*(["'])([^>]*?)\1[^>]*>(.*?)</a>"""
+)
+ANCHOR_PATTERN_UNQUOTED = (
+    r"""(?is)<a\s[^>]*href\s*=\s*([^\s"'>][^\s>]*)[^>]*>(.*?)</a>"""
+)
+
+
+def _clean_anchor(t: Column) -> Column:
+    """Inner anchor html -> visible label: nested tags to spaces, the
+    ubiquitous entities decoded, whitespace collapsed (the same cleaning
+    contract as html_to_text, scoped to the anchor)."""
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    html_is_binary: bool = True,
+) -> DataFrame:
+    """(src_url, href, anchor): one row per anchor element with its
+    VISIBLE LABEL — the raw material of an anchor-text index. Both
+    quoted and unquoted href forms. href/label pairs are recovered by
+    running the SAME pattern twice with different group indices and
+    positionally zipping the two arrays (same pattern ⇒ same match
+    sequence, so the zip is exact); labels are tag-stripped and
+    entity-decoded. Map-only JVM regexp algebra."""
+    h = _html_str(html_col, html_is_binary)
+
+    def _pairs(pattern: str, href_g: int, text_g: int) -> Column:
+        return F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(pattern), F.lit(href_g)).alias(
+                "href"
+            ),
+            F.regexp_extract_all(h, F.lit(pattern), F.lit(text_g)).alias(
+                "txt"
+            ),
+        )
+
+    both = F.concat(
+        _pairs(ANCHOR_PATTERN, 2, 3),
+        _pairs(ANCHOR_PATTERN_UNQUOTED, 1, 2),
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.explode(both).alias("p")
+    ).select(
+        "src_url",
+        F.col("p.href").alias("href"),
+        _clean_anchor(F.col("p.txt")).alias("anchor"),
+    )
+
+
+def anchor_text_table(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    html_is_binary: bool = True,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """The anchor-text index ``(dst, anchor, n)``: how the web DESCRIBES
+    each target url — n = number of anchors with that exact label
+    pointing at dst (hrefs resolved like link_edges; non-navigational
+    and self links dropped). The classic relevance signal a link-graph
+    corpus ships next to PageRank. One narrow extraction pass + one
+    aggregation shuffle."""
+    a = extract_anchor_texts(pages, html_col, url_col, html_is_binary)
+    resolved = a.select(
+        F.col("src_url").alias("src"),
+        resolve_href(F.col("src_url"), F.col("href")).alias("dst"),
+        "anchor",
+    ).where(F.col("dst").isNotNull())
+    if drop_self_loops:
+        resolved = resolved.where(F.col("src") != F.col("dst"))
+    return resolved.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
 
 

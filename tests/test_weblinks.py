@@ -305,3 +305,53 @@ def test_edge_diff_and_top_movers(spark):
         assert abs(r["score_b"] - r["score_a"] - r["delta"]) < 1e-12
     plan = top_movers(pa, pb, k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_anchor_text_extraction(spark):
+    """href/label pairs recovered by positional zip of the two group
+    extractions; labels tag-stripped + entity-decoded; quoted and
+    unquoted forms; multi-line anchors."""
+    from jgtextrank_spark.weblinks import extract_anchor_texts
+
+    html = (
+        '<a href="x.html"><b>Bold</b> &amp; plain</a>'
+        "<a href=y.html class=z>unquoted  label</a>"
+        '<a class="k" href="z.html">line\nbroken</a>'
+        '<a href="q.html"></a>'
+    )
+    pages = _pages(spark, [("https://s.org/d/p", html)])
+    got = {
+        r["href"]: r["anchor"]
+        for r in extract_anchor_texts(pages).collect()
+    }
+    assert got == {
+        "x.html": "Bold & plain",
+        "y.html": "unquoted label",
+        "z.html": "line broken",
+        "q.html": "",
+    }
+
+
+def test_anchor_text_table(spark):
+    """(dst, anchor, n) index: resolution like link_edges, duplicate
+    labels aggregate, self-links dropped, javascript dropped."""
+    from jgtextrank_spark.weblinks import anchor_text_table
+
+    pages = _pages(
+        spark,
+        [
+            ("https://a.org/1", '<a href="https://b.org/x">Good Site</a>'
+                                '<a href="https://a.org/1">self</a>'
+                                '<a href="javascript:void(0)">js</a>'),
+            ("https://a.org/2", '<a href="/x2">Good Site</a>'
+                                '<a href="https://b.org/x">Good Site</a>'),
+        ],
+    )
+    got = {
+        (r["dst"], r["anchor"]): r["n"]
+        for r in anchor_text_table(pages).collect()
+    }
+    assert got == {
+        ("https://b.org/x", "Good Site"): 2,
+        ("https://a.org/x2", "Good Site"): 1,
+    }
