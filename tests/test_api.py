@@ -219,3 +219,67 @@ def test_read_text_directory_whole_files(spark, tmp_path):
     assert len(rows) == 2
     by_url = {r["url"].split("/")[-1]: r["text"] for r in rows}
     assert "second line." in by_url["a.txt"]
+
+
+# ------------------------------------------------------------------ WARC I/O
+def _warc_record(wtype, uri, date, http_body=None, raw_body=b""):
+    if http_body is not None:
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + http_body
+    else:
+        body = raw_body
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\nWARC-Date: {date}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def test_warc_reader(spark, tmp_path):
+    """Minimal WARC framing: Content-Length-exact payloads (a body
+    containing the literal 'WARC/1.0' must not confuse the parser), HTTP
+    header stripping on response records, request records filtered,
+    multi-member gzip (the Common Crawl per-record layout), and the
+    pages-table composition with extracted text + lang."""
+    import gzip
+
+    from jgtextrank_spark.io import read_warc_records, warc_pages
+
+    html1 = b"<html><p>the cat sat on the mat with a hat</p></html>"
+    html2 = b"<html><p>embedded WARC/1.0 marker inside body</p></html>"
+    r1 = _warc_record(
+        "response", "https://a.org/1", "2024-01-02T03:04:05Z", http_body=html1
+    )
+    rq = _warc_record(
+        "request", "https://a.org/1", "2024-01-02T03:04:05Z",
+        raw_body=b"GET /1 HTTP/1.1\r\n\r\n",
+    )
+    r2 = _warc_record(
+        "response", "https://b.org/2", "2024-02-03T04:05:06Z", http_body=html2
+    )
+    (tmp_path / "a.warc").write_bytes(r1 + rq + r2)
+    # per-record gzip members concatenated, as Common Crawl ships
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(r1) + gzip.compress(rq) + gzip.compress(r2)
+    )
+
+    recs = read_warc_records(spark, str(tmp_path / "a.warc")).collect()
+    got = {r["url"]: r for r in recs}
+    assert set(got) == {"https://a.org/1", "https://b.org/2"}
+    assert bytes(got["https://a.org/1"]["payload"]) == html1
+    assert bytes(got["https://b.org/2"]["payload"]) == html2
+    assert got["https://a.org/1"]["warc_ts"] is not None
+
+    gz = {
+        r["url"]: bytes(r["payload"])
+        for r in read_warc_records(spark, str(tmp_path / "b.warc.gz")).collect()
+    }
+    assert gz == {"https://a.org/1": html1, "https://b.org/2": html2}
+
+    rows = warc_pages(spark, str(tmp_path)).collect()
+    assert len(rows) == 4  # 2 responses per file, both files read
+    pages = {r["url"]: r for r in rows}
+    p1 = pages["https://a.org/1"]
+    assert p1["text"] == "the cat sat on the mat with a hat"
+    assert p1["lang"] == "en"
+    assert pages["https://b.org/2"]["lang"] == "und"
