@@ -36,12 +36,19 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
+    src.add_argument("--warc", help="directory of .warc/.warc.gz files "
+                     "(native crawl input; parsed to the pages shape)")
     src.add_argument("--edges", help="prebuilt (src, dst, weight) parquet")
     p.add_argument("--output", required=True)
     p.add_argument(
         "--algo", default="pagerank",
         choices=["pagerank", "components", "components_star", "labelprop",
-                 "triangles"],
+                 "triangles", "scc", "salsa", "hits", "trustrank"],
+    )
+    p.add_argument(
+        "--trusted", default=None,
+        help="comma-separated trusted seed vertex ids (required for "
+        "--algo trustrank)",
     )
     p.add_argument("--edge-source", default="links",
                    choices=["links", "cooccurrence"])
@@ -78,7 +85,12 @@ def build_edges(spark, args):
 
     if args.edges:
         return spark.read.parquet(args.edges)
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        from jgtextrank_spark.io import warc_pages
+
+        pages = warc_pages(spark, args.warc)
+    else:
+        pages = spark.read.parquet(args.pages)
     if args.edge_source == "links":
         from jgtextrank_spark.weblinks import host_edges, link_edges
 
@@ -112,7 +124,7 @@ def run(spark, args) -> dict:
         # (a materialized link graph must score identically to the same
         # graph built in-job); co-occurrence graphs are undirected.
         undirected = args.undirected or (
-            args.pages and args.edge_source == "cooccurrence"
+            (args.pages or args.warc) and args.edge_source == "cooccurrence"
         )
         e = symmetrize(edges) if undirected else edges
         res, _n = pagerank_result(
@@ -142,6 +154,33 @@ def run(spark, args) -> dict:
             encode_ids=args.encode_ids,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "scc":
+        from jgtextrank_spark.algos.scc import strongly_connected_components
+
+        out = strongly_connected_components(edges)
+    elif args.algo == "salsa":
+        from jgtextrank_spark.algos.salsa import salsa
+
+        out = salsa(edges)
+    elif args.algo == "hits":
+        from jgtextrank_spark.algos.centrality import hits
+
+        out = hits(
+            edges, max_iter=args.max_iter, tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "trustrank":
+        from jgtextrank_spark.algos.pagerank import trustrank
+
+        if not args.trusted:
+            raise SystemExit("--algo trustrank requires --trusted ids")
+        seeds = spark.createDataFrame(
+            [(s,) for s in args.trusted.split(",") if s], "id string"
+        )
+        out = trustrank(
+            edges, seeds, max_iter=args.max_iter, tol=args.tol,
         )
     else:
         from jgtextrank_spark.algos.triangles import triangle_counts
