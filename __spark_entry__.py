@@ -542,6 +542,18 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_table(_synth_pages(spark, sf_dir))
 
 
+def q_bowtie_pages(spark, sf_dir):
+    """Broder bow-tie regions of the synthesized page digraph
+    (CORE/IN/OUT/TUBE/TENDRIL/DISCONNECTED) via distributed SCC + four
+    frontier reachability fixpoints. Oracle: transitive closure +
+    mutual-reachability + region CASE in DuckDB."""
+    _prep(spark)
+    from jgtextrank_spark.algos.scc import bowtie_decomposition
+    from jgtextrank_spark.weblinks import link_edges
+
+    return bowtie_decomposition(link_edges(_synth_pages(spark, sf_dir)))
+
+
 def q_salsa_pages(spark, sf_dir):
     """SALSA hub/authority scores on the synthesized page link graph via
     the Lempel-Moran closed form (bipartite-support connected components
@@ -992,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": q_hits_hosts,
         "salsa_pages": q_salsa_pages,
         "anchor_text": q_anchor_text,
+        "bowtie_pages": q_bowtie_pages,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
         "token_count": q_token_count,
@@ -2017,6 +2030,73 @@ lk AS (
 )
 SELECT dst, anchor, count(*)::BIGINT AS n
 FROM lk WHERE src <> dst GROUP BY dst, anchor"""
+    # bow-tie regions: closure + mutual reachability + region CASE (all
+    # set CTEs written DISTINCT-over-UNION-ALL per the WITH RECURSIVE
+    # footgun)
+    d["bowtie_pages"] = f"""
+WITH RECURSIVE {_WEB_LINK_EDGES},
+sl AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM sl
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sl s ON s.src = r.b
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sl UNION ALL SELECT dst FROM sl
+  )
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+comp AS (
+  SELECT vv.v, least(vv.v, coalesce(min(m.u), vv.v)) AS c
+  FROM verts vv LEFT JOIN mutual m ON m.v = vv.v GROUP BY vv.v
+),
+csz AS (SELECT c, count(*) AS n FROM comp GROUP BY c),
+core_id AS (SELECT c FROM csz ORDER BY n DESC, c ASC LIMIT 1),
+core AS (SELECT v FROM comp WHERE c = (SELECT c FROM core_id)),
+fwd AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM core
+    UNION ALL
+    SELECT r.b AS v FROM reach r JOIN core ON core.v = r.a
+  )
+),
+bwd AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM core
+    UNION ALL
+    SELECT r.a AS v FROM reach r JOIN core ON core.v = r.b
+  )
+),
+inr AS (SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM core)),
+outr AS (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)),
+from_in AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM inr
+    UNION ALL
+    SELECT r.b AS v FROM reach r JOIN inr ON inr.v = r.a
+  )
+),
+to_out AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM outr
+    UNION ALL
+    SELECT r.a AS v FROM reach r JOIN outr ON outr.v = r.b
+  )
+)
+SELECT vv.v AS vertex,
+       CASE WHEN vv.v IN (SELECT v FROM core) THEN 'CORE'
+            WHEN vv.v IN (SELECT v FROM inr) THEN 'IN'
+            WHEN vv.v IN (SELECT v FROM outr) THEN 'OUT'
+            WHEN vv.v IN (SELECT v FROM from_in)
+                 AND vv.v IN (SELECT v FROM to_out) THEN 'TUBE'
+            WHEN vv.v IN (SELECT v FROM from_in)
+                 OR vv.v IN (SELECT v FROM to_out) THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS region
+FROM verts vv"""
     # SALSA closed form: bipartite-support components (recursive CTE) +
     # per-component degree sums + side entitlement, mirroring salsa.py's
     # arithmetic shape

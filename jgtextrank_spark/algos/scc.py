@@ -45,7 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["strongly_connected_components", "scc_per_group"]
+__all__ = [
+    "strongly_connected_components",
+    "scc_per_group",
+    "bowtie_decomposition",
+]
 
 
 def strongly_connected_components(
@@ -344,3 +348,117 @@ def scc_per_group(
         )
 
     return sel.groupBy(group_col).applyInPandas(solve, schema=schema)
+
+
+def _reach_from(
+    E: DataFrame, seeds: DataFrame, reverse: bool, max_iter: int
+) -> DataFrame:
+    """Vertices reachable from ``seeds`` (INCLUDING the seeds) along the
+    directed edges (``reverse=True``: along reversed edges). Frontier
+    BFS: each step joins only the frontier against the edge list — the
+    reachable-set join shape used by the SCC backward gather."""
+    step_e = (
+        E.select(F.col("dst").alias("from_v"), F.col("src").alias("to_v"))
+        if reverse
+        else E.select(F.col("src").alias("from_v"), F.col("dst").alias("to_v"))
+    )
+    reached = seeds.select(F.col("vertex")).distinct().localCheckpoint(
+        eager=True
+    )
+    frontier = reached
+    for _ in range(max_iter):
+        newly = (
+            step_e.join(
+                frontier.select(F.col("vertex").alias("from_v")), "from_v"
+            )
+            .select(F.col("to_v").alias("vertex"))
+            .distinct()
+            .join(reached, "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if newly.count() == 0:
+            return reached
+        reached = reached.unionByName(newly).localCheckpoint(eager=True)
+        frontier = newly
+    raise RuntimeError(f"reachability did not converge in {max_iter} steps")
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_inner: int = 500,
+    **scc_kwargs,
+) -> DataFrame:
+    """The Broder et al. (2000) bow-tie structure of a directed graph —
+    THE canonical first analysis of a web crawl. Returns ``(vertex,
+    region)`` with regions:
+
+    * ``CORE``        — the largest SCC (ties broken by min component id),
+    * ``IN``          — reaches the core, not in it,
+    * ``OUT``         — reachable from the core, not in it,
+    * ``TUBE``        — on an IN→OUT path that bypasses the core
+                        (reachable from IN AND reaches OUT),
+    * ``TENDRIL``     — hangs off IN (forward) or into OUT (backward),
+                        but no core contact (exactly one of the two),
+    * ``DISCONNECTED``— everything else.
+
+    Composition of existing primitives: one
+    :func:`strongly_connected_components` run + four frontier
+    reachability fixpoints (core forward/backward, IN forward, OUT
+    backward) + label algebra. Deterministic; oracle-replayable via
+    transitive closure."""
+    spark = edges.sparkSession
+    scc = strongly_connected_components(
+        edges, vertices=vertices, max_inner=max_inner, **scc_kwargs
+    ).localCheckpoint(eager=True)
+    E = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # largest SCC, ties by min component id — one tiny aggregate
+    top = (
+        scc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("component").asc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return spark.createDataFrame([], "vertex string, region string")
+    core_id = top[0]["component"]
+    core = scc.filter(F.col("component") == core_id).select("vertex")
+
+    fwd = _reach_from(E, core, reverse=False, max_iter=max_inner)
+    bwd = _reach_from(E, core, reverse=True, max_iter=max_inner)
+    in_set = bwd.join(core, "vertex", "left_anti").localCheckpoint(eager=True)
+    out_set = fwd.join(core, "vertex", "left_anti").localCheckpoint(
+        eager=True
+    )
+    from_in = _reach_from(E, in_set, reverse=False, max_iter=max_inner)
+    to_out = _reach_from(E, out_set, reverse=True, max_iter=max_inner)
+
+    def _flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("vertex", F.lit(True).alias(name))
+
+    lab = (
+        scc.select("vertex")
+        .join(_flag(core, "is_core"), "vertex", "left")
+        .join(_flag(in_set, "is_in"), "vertex", "left")
+        .join(_flag(out_set, "is_out"), "vertex", "left")
+        .join(_flag(from_in, "f_in"), "vertex", "left")
+        .join(_flag(to_out, "t_out"), "vertex", "left")
+    )
+    f_in = F.coalesce("f_in", F.lit(False))
+    t_out = F.coalesce("t_out", F.lit(False))
+    return lab.select(
+        "vertex",
+        F.when(F.coalesce("is_core", F.lit(False)), "CORE")
+        .when(F.coalesce("is_in", F.lit(False)), "IN")
+        .when(F.coalesce("is_out", F.lit(False)), "OUT")
+        .when(f_in & t_out, "TUBE")
+        .when(f_in | t_out, "TENDRIL")
+        .otherwise("DISCONNECTED")
+        .alias("region"),
+    )

@@ -949,3 +949,81 @@ def test_salsa_closed_form_and_theorem(spark):
                 P[ai[j], ai[i]] += (1.0 / ind[j]) * (1.0 / outd[h])
     pi = np.array([want[a][1] for a in auths])
     assert np.allclose(pi @ P, pi, atol=1e-12)
+
+
+def test_bowtie_decomposition(spark):
+    """Broder bow-tie regions on a hand-built graph with every region
+    populated, cross-checked against a networkx closure recomputation."""
+    from jgtextrank_spark.algos.scc import bowtie_decomposition
+
+    edges = [
+        # CORE: 3-cycle c0-c1-c2
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+        # IN: i0 -> i1 -> core
+        ("i0", "i1"), ("i1", "c0"),
+        # OUT: core -> o0 -> o1
+        ("c1", "o0"), ("o0", "o1"),
+        # TUBE: i0 -> t0 -> o1 (bypasses core)
+        ("i0", "t0"), ("t0", "o1"),
+        # TENDRIL off IN (reachable from IN, never reaches OUT/core)
+        ("i1", "td0"),
+        # TENDRIL into OUT (reaches OUT, not reachable from IN/core)
+        ("td1", "o0"),
+        # DISCONNECTED pair
+        ("x0", "x1"),
+    ]
+    df = _edges_df(spark, edges)
+    got = {
+        r["vertex"]: r["region"]
+        for r in bowtie_decomposition(df).collect()
+    }
+    want = {
+        "c0": "CORE", "c1": "CORE", "c2": "CORE",
+        "i0": "IN", "i1": "IN",
+        "o0": "OUT", "o1": "OUT",
+        "t0": "TUBE",
+        "td0": "TENDRIL", "td1": "TENDRIL",
+        "x0": "DISCONNECTED", "x1": "DISCONNECTED",
+    }
+    assert got == want
+
+    # independent recomputation on a random digraph via nx closures
+    rng = random.Random(41)
+    redges = {(rng.randrange(20), rng.randrange(20)) for _ in range(36)}
+    rdf = _edges_df(spark, redges)
+    D = nx.DiGraph()
+    D.add_edges_from((str(u), str(v)) for u, v in redges)
+    sccs = sorted(
+        nx.strongly_connected_components(D),
+        key=lambda c: (-len(c), min(c)),
+    )
+    core = sccs[0]
+    anc = set().union(*(nx.ancestors(D, v) for v in core)) - core
+    dec = set().union(*(nx.descendants(D, v) for v in core)) - core
+    from_in = (
+        set().union(*(nx.descendants(D, v) | {v} for v in anc))
+        if anc else set()
+    )
+    to_out = (
+        set().union(*(nx.ancestors(D, v) | {v} for v in dec))
+        if dec else set()
+    )
+    want2 = {}
+    for v in D:
+        if v in core:
+            want2[v] = "CORE"
+        elif v in anc:
+            want2[v] = "IN"
+        elif v in dec:
+            want2[v] = "OUT"
+        elif v in from_in and v in to_out:
+            want2[v] = "TUBE"
+        elif v in from_in or v in to_out:
+            want2[v] = "TENDRIL"
+        else:
+            want2[v] = "DISCONNECTED"
+    got2 = {
+        r["vertex"]: r["region"]
+        for r in bowtie_decomposition(rdf).collect()
+    }
+    assert got2 == want2
