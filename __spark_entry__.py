@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 WINDOW = 2  # co-occurrence window for the documents token graph
 PR_ITERS = 20  # fixed supersteps for the SQL-comparable PageRank query
 HITS_ITERS = 10  # fixed supersteps for the SQL-comparable HITS query
+KTRUSS_K = 22  # k-truss gate parameter (peels the sf0.01 token graph)
 ANN_K = 5
 ANN_QUERIES = 20
 JACCARD_T = 0.2
@@ -221,6 +222,17 @@ def q_components_per_doc(spark, sf_dir):
             "component"
         ),
     )
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss (k=22) of the undirected token graph — iterative
+    support-peel to fixpoint. Oracle unrolls 10 peel rounds in SQL:
+    peeling is a monotone fixpoint, so unrolling MORE rounds than the
+    data needs is exact (post-convergence rounds are no-ops)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.triangles import k_truss
+
+    return k_truss(_doc_edges(spark, sf_dir), k=KTRUSS_K)
 
 
 def q_degree_distribution(spark, sf_dir):
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_per_doc": q_components_star_per_doc,
         "scc_per_doc": q_scc_per_doc,
         "scc_tokens": q_scc_tokens,
+        "ktruss": q_ktruss,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
@@ -1279,6 +1292,49 @@ edges AS (
   WHERE t1 <> doc_id AND (t1 % 7) <> (doc_id % 7)
   GROUP BY 1, 2
 )"""
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel over the token graph: each round recounts
+    per-edge triangle support (ordered wedge join closed by the third
+    edge) and keeps edges with support >= k-2. Monotone fixpoint ⇒
+    unrolling more rounds than the data needs is exact."""
+    ctes = [
+        _EDGES,
+        """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+w{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i - 1} e1 JOIN e{i - 1} e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+t{i} AS MATERIALIZED (
+  SELECT w.x, w.y, w.z
+  FROM w{i} w JOIN e{i - 1} e ON e.a = w.y AND e.b = w.z
+),
+s{i} AS MATERIALIZED (
+  SELECT p, q, count(*) AS s FROM (
+    SELECT x AS p, y AS q FROM t{i}
+    UNION ALL SELECT x AS p, z AS q FROM t{i}
+    UNION ALL SELECT y AS p, z AS q FROM t{i}
+  ) GROUP BY p, q
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM e{i - 1} e LEFT JOIN s{i} s ON s.p = e.a AND s.q = e.b
+  WHERE coalesce(s.s, 0) >= {k - 2}
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT a AS src, b AS dst FROM e{rounds}"
+    )
 
 
 def _hits_sql(iters: int, edges_cte: str) -> str:
@@ -2162,6 +2218,7 @@ SELECT v.vertex, round(coalesce(h.hub, 0.0), 6) AS hub,
 FROM allv v
 LEFT JOIN hub h ON h.vertex = v.vertex
 LEFT JOIN auth a ON a.vertex = v.vertex"""
+    d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
     d["degree_distribution"] = f"""
 WITH {_EDGES},
 und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),

@@ -1027,3 +1027,27 @@ def test_bowtie_decomposition(spark):
         for r in bowtie_decomposition(rdf).collect()
     }
     assert got2 == want2
+
+
+def test_k_truss_vs_nx(spark):
+    """k-truss edge sets equal nx.k_truss for k in {3, 4, 5} on random
+    graphs; k=2 returns every non-self-loop edge; a pure cycle (no
+    triangles) empties at k=3."""
+    from jgtextrank_spark.algos.triangles import k_truss
+
+    for seed, n, m in [(13, 18, 60), (29, 24, 90)]:
+        edges = _rand_graph(seed=seed, n=n, m=m)
+        df = _edges_df(spark, edges)
+        G = _nx_graph(edges)
+        G.remove_edges_from(nx.selfloop_edges(G))
+        for k in (2, 3, 4, 5):
+            want = {
+                tuple(sorted(e)) for e in nx.k_truss(G, k).edges()
+            }
+            got = {
+                (r["src"], r["dst"]) for r in k_truss(df, k).collect()
+            }
+            assert got == want, (seed, k, len(got), len(want))
+
+    cyc = _edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert k_truss(cyc, 3).count() == 0
