@@ -110,6 +110,14 @@ CHECKS = {
          " exchange", lambda p: "FlatMapGroupsInPandas" in p
          or "FlatMapGroupsInArrow" in p),
     ],
+    "anchor_text": [
+        ("extraction is map-only up to the index aggregation: no join",
+         lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("single aggregation exchange", lambda p: p.count("Exchange") <= 2),
+        ("JVM-side regex algebra, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
 }
 
 
@@ -134,7 +142,7 @@ def main():
         "dedup_minhash_lsh", "embedding_near_dup", "triangle_count",
         "top_tokens", "web_link_edges", "web_text_extract",
         "url_canonical", "pii_scrub", "repetition", "decontaminate",
-        "link_prediction", "scc_per_doc",
+        "link_prediction", "scc_per_doc", "anchor_text",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
