@@ -31,6 +31,8 @@ WINDOW = 2  # co-occurrence window for the documents token graph
 PR_ITERS = 20  # fixed supersteps for the SQL-comparable PageRank query
 HITS_ITERS = 10  # fixed supersteps for the SQL-comparable HITS query
 KTRUSS_K = 22  # k-truss gate parameter (peels the sf0.01 token graph)
+WALK_STEPS = 4  # random-walk gate parameters (md5-replayable in SQL)
+WALK_SEED = "w42"
 ANN_K = 5
 ANN_QUERIES = 20
 JACCARD_T = 0.2
@@ -221,6 +223,23 @@ def q_components_per_doc(spark, sf_dir):
         F.split_part(F.col("component"), F.lit("|"), F.lit(2)).alias(
             "component"
         ),
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Weighted random walks (1 per vertex, 4 steps) on the symmetrized
+    token graph — every step is md5-derived, so the oracle replays the
+    ENTIRE walk set step-join by step-join in DuckDB (integral weights ⇒
+    exact range boundaries)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.walks import random_walks
+    from jgtextrank_spark.graph import symmetrize
+
+    return random_walks(
+        symmetrize(_doc_edges(spark, sf_dir)),
+        walks_per_vertex=1,
+        walk_length=WALK_STEPS,
+        seed=WALK_SEED,
     )
 
 
@@ -1002,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_per_doc": q_scc_per_doc,
         "scc_tokens": q_scc_tokens,
         "ktruss": q_ktruss,
+        "random_walks": q_random_walks,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
@@ -1292,6 +1312,55 @@ edges AS (
   WHERE t1 <> doc_id AND (t1 % 7) <> (doc_id % 7)
   GROUP BY 1, 2
 )"""
+
+
+def _walks_sql(steps: int, seed: str) -> str:
+    """Replay of walks.random_walks on the symmetrized token graph:
+    identical cumulative ranges (window cumsum in dst order; integral
+    weights keep the sums order-independent) and the identical
+    md5(walk_id:step:seed) 48-bit uniform per step."""
+    ctes = [
+        _EDGES,
+        """
+sym AS (
+  SELECT src, dst, sum(weight) AS w FROM (
+    SELECT src, dst, weight FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+  ) GROUP BY src, dst
+),
+adj AS (
+  SELECT src, dst,
+         (sum(w) OVER (PARTITION BY src ORDER BY dst) - w)
+           / sum(w) OVER (PARTITION BY src) AS lo,
+         sum(w) OVER (PARTITION BY src ORDER BY dst)
+           / sum(w) OVER (PARTITION BY src) AS hi
+  FROM sym
+),
+wverts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+s0 AS (SELECT v || '#0' AS walk_id, v AS cur FROM wverts)""",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""
+s{t} AS (
+  SELECT p.walk_id, a.dst AS cur
+  FROM s{t - 1} p JOIN adj a ON a.src = p.cur
+  WHERE (('0x' || substring(md5(p.walk_id || ':{t}:{seed}'), 1, 12))::BIGINT
+         / 281474976710656.0) >= a.lo
+    AND (('0x' || substring(md5(p.walk_id || ':{t}:{seed}'), 1, 12))::BIGINT
+         / 281474976710656.0) < a.hi
+)"""
+        )
+    sels = ["SELECT walk_id, 0 AS step, cur AS vertex FROM s0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(1, steps + 1)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -2219,6 +2288,7 @@ FROM allv v
 LEFT JOIN hub h ON h.vertex = v.vertex
 LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
+    d["random_walks"] = _walks_sql(WALK_STEPS, WALK_SEED)
     d["degree_distribution"] = f"""
 WITH {_EDGES},
 und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),

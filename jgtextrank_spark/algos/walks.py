@@ -1,0 +1,148 @@
+"""Deterministic weighted random walks over the edge table.
+
+The sampling workhorse of embedding pipelines (DeepWalk / node2vec
+corpus generation, Monte-Carlo PPR, graph-aware negative sampling):
+``walks_per_vertex`` walks of ``walk_length`` steps from every vertex,
+each step choosing an out-edge with probability proportional to its
+weight. The reference has no sampling surface; this generalizes its
+graph layer toward the training-data role the same way the curation
+module does the text side.
+
+Spark-first design — the walk is a JOIN, not a loop over vertices:
+
+1. The adjacency is turned ONCE into cumulative probability ranges per
+   source: edges ordered by ``dst`` within each ``src`` (a window
+   cumsum), edge i covering ``[cum_{i-1}/tot, cum_i/tot)``. Partitioned
+   by ``src`` and cached — the walk's only big build.
+2. Each step derives one uniform u per (walk, step) from
+   ``md5(walk_id:step:seed)`` (first 12 hex chars as a 48-bit int /
+   2^48) and advances every walk with ONE equi-join on the current
+   vertex plus the range filter ``lo <= u < hi``. No per-vertex driver
+   work, no Python in the loop; ``walk_length`` joins total.
+3. Walks reaching a vertex with no out-edges stop (the inner join drops
+   them) — truncated walks are the standard semantics.
+
+Everything is md5-derived, so runs are REPLAYABLE bit-for-bit in any
+engine with md5 (the correctness gate replays whole walk sets in
+DuckDB). Exact cross-engine equality of the range boundaries assumes
+the per-source weight total is an order-independent sum — true for
+integral weights (co-occurrence counts, link multiplicities); with
+arbitrary floats a boundary-straddling u could differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["random_walks"]
+
+_SCALE = float(2**48)
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 10,
+    seed: str = "w42",
+    weight_col: str | None = "weight",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame ``(walk_id, step, vertex)`` — step 0 is the start
+    vertex; ``walk_id = <start>#<replica>``. Directed semantics: steps
+    follow ``src -> dst``; pass ``graph.symmetrize(edges)`` for
+    undirected walking."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None and weight_col in edges.columns
+        else F.lit(1.0)
+    )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(w).alias("w"))
+    )
+    wcum = Window.partitionBy("src").orderBy("dst")
+    wtot = Window.partitionBy("src")
+    adj = (
+        e.select(
+            "src",
+            "dst",
+            "w",
+            F.sum("w").over(wcum).alias("cum"),
+            F.sum("w").over(wtot).alias("tot"),
+        )
+        .select(
+            "src",
+            "dst",
+            ((F.col("cum") - F.col("w")) / F.col("tot")).alias("lo"),
+            (F.col("cum") / F.col("tot")).alias("hi"),
+        )
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    cur = verts.select(
+        "vertex",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("rep"),
+    ).select(
+        F.concat_ws("#", "vertex", F.col("rep").cast("string")).alias(
+            "walk_id"
+        ),
+        F.col("vertex").alias("cur"),
+    ).localCheckpoint(eager=True)
+
+    parts = [
+        cur.select(
+            "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        )
+    ]
+    for t in range(1, walk_length + 1):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("walk_id"), F.lit(str(t)), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+            / F.lit(_SCALE)
+        )
+        cur = (
+            cur.withColumn("u", u)
+            .join(adj, F.col("cur") == F.col("src"))
+            .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+            .select("walk_id", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(
+            cur.select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+        if cur.isEmpty():
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    adj.unpersist()
+    return out

@@ -1051,3 +1051,77 @@ def test_k_truss_vs_nx(spark):
 
     cyc = _edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])
     assert k_truss(cyc, 3).count() == 0
+
+
+# -------------------------------------------------------------- random walks
+def test_random_walks_exact_python_mirror(spark):
+    """Walks are md5-derived and therefore fully replayable: a pure
+    python mirror (hashlib + the same cumulative ranges in dst order)
+    reproduces EVERY step exactly. Also: dangling truncation, replica
+    independence, step-0 coverage."""
+    import hashlib
+
+    from jgtextrank_spark.algos.walks import random_walks
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("b", "a", 3.0), ("c", "d", 1.0),  # d is dangling
+    ]
+    df = spark.createDataFrame(
+        edges, "src string, dst string, weight double"
+    )
+    L, R, SEED = 6, 3, "w42"
+    got = {}
+    for r in random_walks(
+        df, walks_per_vertex=R, walk_length=L, seed=SEED
+    ).collect():
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    for s in adj:
+        adj[s].sort()  # dst order, as the window cumsum
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    want = {}
+    for v in verts:
+        for rep in range(R):
+            wid = f"{v}#{rep}"
+            seq = {0: v}
+            cur = v
+            for t in range(1, L + 1):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                h = hashlib.md5(f"{wid}:{t}:{SEED}".encode()).hexdigest()
+                u = int(h[:12], 16) / float(2**48)
+                tot = sum(w for _, w in outs)
+                cum = 0.0
+                nxt = None
+                for d, w in outs:
+                    # mirror the engine arithmetic: lo=(cum_i - w)/tot
+                    cum += w
+                    lo, hi = (cum - w) / tot, cum / tot
+                    if lo <= u < hi:
+                        nxt = d
+                        break
+                assert nxt is not None
+                seq[t] = nxt
+                cur = nxt
+            want[wid] = seq
+    assert got == want
+    # replicas diverge (different md5 streams) somewhere in the set
+    assert any(
+        want[f"{v}#0"] != want[f"{v}#1"]
+        for v in verts
+        if len(want[f"{v}#0"]) > 1
+    )
+    # weighted choice sanity: from 'b', 'a' (w=3) dominates 'c' (w=1)
+    from collections import Counter
+
+    first = Counter(
+        seq[1]
+        for wid, seq in want.items()
+        if wid.startswith("b#") and 1 in seq
+    )
+    assert sum(first.values()) == R
