@@ -652,6 +652,86 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_bfs_depth(spark, sf_dir):
+    """Crawl-depth labeling: multi-source BFS over the synthesized page
+    link graph from the host-h0 pages (frontier-only supersteps; dist
+    NULL = unreachable). Oracle: bounded recursive-CTE reachability with
+    min-hop aggregation over the closed-form edge CTE."""
+    _prep(spark)
+    from jgtextrank_spark.algos.paths import bfs_distances
+    from jgtextrank_spark.weblinks import link_edges
+
+    pages = _synth_pages(spark, sf_dir)
+    seeds = pages.filter(F.col("url").startswith("https://h0.")).select(
+        F.col("url").alias("id")
+    )
+    out = bfs_distances(link_edges(pages), seeds, checkpoint_every=0)
+    # unreachable -> -1 sentinel: the gate comparer sorts row tuples, so
+    # output columns must be NULL-free (library semantics stay NULL)
+    return out.select(
+        "vertex", F.coalesce("dist", F.lit(-1)).alias("dist")
+    )
+
+
+def q_sssp_pages(spark, sf_dir):
+    """Weighted SSSP (distributed Bellman-Ford, frontier-relaxation)
+    over the synthesized page link graph from the host-h0 pages; edge
+    cost = link multiplicity (integral doubles, so path sums are exact
+    and the min is order-independent). Oracle: the same relaxation
+    unrolled as MATERIALIZED min-join CTEs (monotone fixpoint — extra
+    rounds are no-ops)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.paths import sssp
+    from jgtextrank_spark.weblinks import link_edges
+
+    pages = _synth_pages(spark, sf_dir)
+    seeds = pages.filter(F.col("url").startswith("https://h0.")).select(
+        F.col("url").alias("id")
+    )
+    out = sssp(link_edges(pages), seeds, checkpoint_every=0)
+    return out.select(
+        "vertex",
+        F.coalesce(F.round("dist", 6), F.lit(-1.0)).alias("dist"),
+    )
+
+
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (paths.resolve_redirects): pointer
+    doubling over a deterministic synthesized redirect table — chains of
+    length ≤6 ending at doc_id%10==0 terminals, 2-cycles on the 8/9
+    residues, a multi-target source taking the min dst. Oracle unrolls
+    16 single-step follows (enough for every terminating chain; cycle
+    rows stay unresolved on both sides)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.paths import resolve_redirects
+
+    d = F.col("doc_id")
+    m = d % 10
+    u = F.concat(F.lit("https://r.example.org/u/"), d.cast("string"))
+    tgt = (
+        F.when((m >= 1) & (m <= 6), d - 1)
+        .when(m == 8, d + 1)
+        .when(m == 9, d - 1)
+    )
+    redirects = (
+        _docs(spark, sf_dir)
+        .select(
+            u.alias("src"),
+            F.concat(
+                F.lit("https://r.example.org/u/"), tgt.cast("string")
+            ).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    out = resolve_redirects(redirects, max_hops=16)
+    return out.select(
+        "src",
+        F.coalesce("final", F.lit("")).alias("final"),
+        F.coalesce("hops", F.lit(-1)).alias("hops"),
+        "resolved",
+    )
+
+
 def q_token_count(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.textstats import token_count
@@ -1040,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_pages": q_bowtie_pages,
         "web_text_extract": q_web_text_extract,
         "url_canonical": q_url_canonical,
+        "bfs_depth": q_bfs_depth,
+        "sssp_pages": q_sssp_pages,
+        "redirect_resolution": q_redirect_resolution,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -1312,6 +1395,98 @@ edges AS (
   WHERE t1 <> doc_id AND (t1 % 7) <> (doc_id % 7)
   GROUP BY 1, 2
 )"""
+
+
+def _sssp_pages_sql(rounds: int) -> str:
+    """Replay of paths.sssp over the closed-form page edges: Bellman-Ford
+    relaxation unrolled as MATERIALIZED min-join CTEs. Relaxation is a
+    monotone fixpoint, so unrolling past Spark's early-stop (frontier
+    empty) is a no-op; path costs are sums of integral doubles, hence
+    exact and order-independent."""
+    ctes = [
+        _WEB_LINK_EDGES,
+        """
+adj AS MATERIALIZED (
+  SELECT src, dst, min(weight) AS w FROM edges
+  WHERE src <> dst GROUP BY src, dst
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM adj UNION ALL SELECT dst AS v FROM adj
+  )
+),
+seeds AS (SELECT DISTINCT src AS v FROM base WHERE doc_id % 7 = 0),
+d0 AS (
+  SELECT verts.v,
+         CASE WHEN seeds.v IS NOT NULL THEN 0.0 END AS dist
+  FROM verts LEFT JOIN seeds ON seeds.v = verts.v
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+d{i} AS MATERIALIZED (
+  SELECT p.v,
+         CASE WHEN c.cand IS NULL THEN p.dist
+              WHEN p.dist IS NULL OR c.cand < p.dist THEN c.cand
+              ELSE p.dist END AS dist
+  FROM d{i - 1} p LEFT JOIN (
+    SELECT a.dst AS v, min(p2.dist + a.w) AS cand
+    FROM adj a JOIN d{i - 1} p2 ON p2.v = a.src
+    WHERE p2.dist IS NOT NULL
+    GROUP BY a.dst
+  ) c ON c.v = p.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT v AS vertex, coalesce(round(dist, 6), -1.0) AS dist"
+        + f" FROM d{rounds}"
+    )
+
+
+def _redirects_sql(max_hops: int) -> str:
+    """Replay of paths.resolve_redirects over the synthesized redirect
+    table: ``max_hops`` single-step follows unrolled as CTEs (the Spark
+    side covers the same hop budget in log2(max_hops) pointer-doubling
+    rounds); a row still pointing at a redirecting URL after the budget
+    is unresolved on both sides."""
+    ctes = [
+        """
+rd AS (
+  SELECT 'https://r.example.org/u/' || doc_id::VARCHAR AS src,
+         'https://r.example.org/u/' ||
+           (CASE WHEN doc_id % 10 BETWEEN 1 AND 6 THEN doc_id - 1
+                 WHEN doc_id % 10 = 8 THEN doc_id + 1
+                 WHEN doc_id % 10 = 9 THEN doc_id - 1 END)::VARCHAR AS dst
+  FROM documents
+  WHERE doc_id % 10 IN (1, 2, 3, 4, 5, 6, 8, 9)
+),
+nxt AS MATERIALIZED (SELECT src, min(dst) AS dst FROM rd GROUP BY src),
+c0 AS (SELECT src, dst AS cur, 1 AS hops FROM nxt)""",
+    ]
+    for i in range(1, max_hops):
+        ctes.append(
+            f"""
+c{i} AS (
+  SELECT c.src,
+         CASE WHEN n.src IS NULL THEN c.cur ELSE n.dst END AS cur,
+         CASE WHEN n.src IS NULL THEN c.hops ELSE c.hops + 1 END AS hops
+  FROM c{i - 1} c LEFT JOIN nxt n ON n.src = c.cur
+)"""
+        )
+    last = max_hops - 1
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT c.src,
+       CASE WHEN n.src IS NULL THEN c.cur ELSE '' END AS final,
+       CASE WHEN n.src IS NULL THEN c.hops ELSE -1 END AS hops,
+       (n.src IS NULL) AS resolved
+FROM c{last} c LEFT JOIN nxt n ON n.src = c.cur"""
+    )
 
 
 def _walks_sql(steps: int, seed: str) -> str:
@@ -2453,6 +2628,29 @@ FROM parts"""
     # duplicate-line + gram-repetition algebra replayed with DuckDB list
     # ops and SELECT-unnest of generate_series (empty series drops the
     # row, matching the Spark side's empty-gram-array + coalesce(0))
+    # crawl depth: bounded recursive reachability + min-hop agg over the
+    # closed-form page edges; seeds = host-h0 pages; dist NULL =
+    # unreachable (bound 80 >> graph diameter, so min-dist is exact)
+    d["bfs_depth"] = f"""
+WITH RECURSIVE {_WEB_LINK_EDGES},
+sl AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM sl UNION ALL SELECT dst AS v FROM sl
+  )
+),
+seeds AS (SELECT DISTINCT src AS v FROM base WHERE doc_id % 7 = 0),
+reach(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT s.dst, r.d + 1 FROM reach r JOIN sl s ON s.src = r.v
+  WHERE r.d < 80
+),
+mind AS (SELECT v, min(d) AS dist FROM reach GROUP BY v)
+SELECT verts.v AS vertex, coalesce(mind.dist, -1) AS dist
+FROM verts LEFT JOIN mind ON mind.v = verts.v"""
+    d["sssp_pages"] = _sssp_pages_sql(40)
+    d["redirect_resolution"] = _redirects_sql(16)
     d["repetition"] = r"""
 WITH raw AS (
   SELECT doc_id,
