@@ -732,6 +732,63 @@ def q_redirect_resolution(spark, sf_dir):
     )
 
 
+def q_graph_stats_directed(spark, sf_dir):
+    """Directed-graph scalars over the synthesized page link graph:
+    overall reciprocity (reverse-edge fraction) and global transitivity
+    (3*triangles / connected triples on the undirected projection).
+    Oracle mirrors the exact arithmetic expression shape (single IEEE
+    division over integral doubles) before the 6-dp round."""
+    _prep(spark)
+    from jgtextrank_spark.algos.graphstats import reciprocity, transitivity
+    from jgtextrank_spark.weblinks import link_edges
+
+    edges = link_edges(_synth_pages(spark, sf_dir))
+    rec = reciprocity(edges)
+    tra = transitivity(edges)
+    return spark.createDataFrame(
+        [(round(rec, 6), round(tra, 6))],
+        "reciprocity double, transitivity double",
+    )
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) per degree threshold over the token
+    co-occurrence graph (nx.rich_club_coefficient(normalized=False)
+    semantics). Oracle replays the suffix-count algebra with correlated
+    counts over the degree/min-endpoint-degree histograms."""
+    _prep(spark)
+    from jgtextrank_spark.algos.graphstats import rich_club
+
+    out = rich_club(_doc_edges(spark, sf_dir))
+    return out.select("k", F.round("phi", 6).alias("phi"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet-style boilerplate line removal over documents with
+    deterministically injected boilerplate (the raw corpus is
+    single-line): every doc gets a NAVBAR line, every even doc a COOKIE
+    line, every doc a unique uid line — at min_count=3 exactly the
+    NAVBAR/COOKIE lines are corpus-frequent and dropped (plus any
+    natural >=3x body-text repeats, which the oracle counts the same
+    way). Oracle replays the two-pass count + FILTERed ordered
+    string_agg in DuckDB."""
+    _prep(spark)
+    from jgtextrank_spark.functions.curation import remove_boilerplate_lines
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAVBAR Home About Contact"),
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit("COOKIE consent accept all")),
+            F.concat(F.lit("uid "), d.cast("string")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(docs, min_count=3)
+
+
 def q_token_count(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.textstats import token_count
@@ -1123,6 +1180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depth": q_bfs_depth,
         "sssp_pages": q_sssp_pages,
         "redirect_resolution": q_redirect_resolution,
+        "boilerplate_lines": q_boilerplate_lines,
+        "graph_stats_directed": q_graph_stats_directed,
+        "rich_club": q_rich_club,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -2651,6 +2711,102 @@ SELECT verts.v AS vertex, coalesce(mind.dist, -1) AS dist
 FROM verts LEFT JOIN mind ON mind.v = verts.v"""
     d["sssp_pages"] = _sssp_pages_sql(40)
     d["redirect_resolution"] = _redirects_sql(16)
+    # directed scalars: reciprocity (reverse-edge fraction) +
+    # transitivity (3T / wedges), expression shapes mirrored bit-for-bit
+    # pre-round
+    d["graph_stats_directed"] = f"""
+WITH {_WEB_LINK_EDGES},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+rec AS (
+  SELECT sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / count(*)::DOUBLE AS v
+  FROM de LEFT JOIN de r ON r.src = de.dst AND r.dst = de.src
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+tric AS (
+  SELECT count(*)::DOUBLE AS t3
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+wed AS (SELECT sum(d * (d - 1) / 2)::DOUBLE AS w FROM deg)
+SELECT round(rec.v, 6) AS reciprocity,
+       round((3.0 * tric.t3) / wed.w, 6) AS transitivity
+FROM rec, tric, wed"""
+    # rich club: suffix counts of the degree and min-endpoint-degree
+    # histograms per threshold k
+    d["rich_club"] = f"""
+WITH {_EDGES},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+md AS (
+  SELECT least(da.d, db.d) AS m
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+),
+ks AS (
+  SELECT unnest(generate_series(0, (SELECT max(d) FROM deg) - 1)) AS k
+)
+SELECT k,
+       round(2.0 * (SELECT count(*) FROM md WHERE m > k)
+             / ((SELECT count(*) FROM deg WHERE d > k)
+                * ((SELECT count(*) FROM deg WHERE d > k) - 1)), 6) AS phi
+FROM ks
+WHERE (SELECT count(*) FROM deg WHERE d > k) >= 2"""
+    # boilerplate line removal: two-pass heavy-hitter count + ordered
+    # FILTERed string_agg reassembly (string_agg over zero kept lines is
+    # NULL -> '')
+    d["boilerplate_lines"] = """
+WITH docs2 AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'NAVBAR Home About Contact',
+           text,
+           CASE WHEN doc_id % 2 = 0 THEN 'COOKIE consent accept all' END,
+           'uid ' || doc_id::VARCHAR) AS text
+  FROM documents
+),
+lin AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        FROM docs2)
+),
+freq AS (
+  SELECT line FROM (SELECT line, count(*) AS n FROM lin GROUP BY line)
+  WHERE n >= 3
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS boiler
+  FROM lin l LEFT JOIN freq f ON f.line = l.line
+),
+reb AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE NOT boiler) AS text,
+         count(*) FILTER (WHERE NOT boiler)::BIGINT AS n_kept,
+         count(*) FILTER (WHERE boiler)::BIGINT AS n_dropped
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id"""
     d["repetition"] = r"""
 WITH raw AS (
   SELECT doc_id,

@@ -19,6 +19,9 @@ __all__ = [
     "degree_distribution",
     "degree_assortativity",
     "modularity",
+    "reciprocity",
+    "transitivity",
+    "rich_club",
 ]
 
 
@@ -143,3 +146,139 @@ def modularity(
     )
     lab.unpersist()
     return float(intra / m - degs / (4.0 * m * m))
+
+
+def reciprocity(edges: DataFrame) -> float:
+    """Fraction of directed simple edges whose reverse edge also exists
+    (nx.overall_reciprocity). The canonical link-graph symmetry measure:
+    blogrolls/nav cross-links are reciprocal, editorial citations are
+    not. One self-equi-join of the distinct directed edge list on the
+    reversed key + one scalar aggregation."""
+    de = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    row = (
+        de.join(rev.withColumn("has_rev", F.lit(1)), ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).alias("r"),
+        )
+        .collect()[0]
+    )
+    de.unpersist()
+    n = float(row["n"] or 0)
+    return float(row["r"] or 0) / n if n > 0 else float("nan")
+
+
+def transitivity(edges: DataFrame) -> float:
+    """Global clustering coefficient (nx.transitivity): 3 * triangles /
+    connected triples = sum_v tri(v) / sum_v C(deg(v), 2). Reuses the
+    degree-ordered wedge join from triangle counting — per-vertex
+    triangle counts and degrees are each one aggregation, the ratio one
+    fused scalar action."""
+    from .triangles import simple_degrees, triangle_counts
+
+    tri = triangle_counts(edges)
+    deg = simple_degrees(edges)
+    row = (
+        tri.join(deg, "vertex", "left")
+        .agg(
+            F.sum(F.col("triangles").cast("double")).alias("t"),
+            F.sum(
+                (
+                    F.coalesce("deg", F.lit(0))
+                    * (F.coalesce("deg", F.lit(0)) - 1)
+                    / 2.0
+                ).cast("double")
+            ).alias("w"),
+        )
+        .collect()[0]
+    )
+    w = float(row["w"] or 0.0)
+    return float(row["t"] or 0.0) / w if w > 0 else float("nan")
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Non-normalized rich-club coefficient per degree threshold
+    (nx.rich_club_coefficient(normalized=False)):
+
+        phi(k) = 2 E_k / (N_k (N_k - 1))
+
+    where N_k = #vertices of degree > k and E_k = #edges both of whose
+    endpoints have degree > k, for k = 0 .. max_degree - 1 with
+    N_k >= 2. "Do the hubs of this crawl form a clique?" is a rich-club
+    question.
+
+    Plan shape: degree histogram + per-edge min-endpoint-degree
+    histogram (two aggregations over the degree-annotated edge list),
+    then suffix sums by a window over the DEGREE-VALUE domain — at most
+    max_degree rows, thousands at web scale, so the window is cheap and
+    the output is driver-small by construction."""
+    from pyspark.sql import Window
+
+    from .triangles import simple_degrees
+
+    und = _und(edges)
+    deg = simple_degrees(edges).persist()
+    # degree histogram -> N_k via suffix sum over degree values
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nv"))
+    # per-edge min endpoint degree -> E_k via suffix sum
+    eh = (
+        und.join(
+            deg.select(F.col("vertex").alias("a"), F.col("deg").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("vertex").alias("b"), F.col("deg").alias("db")),
+            "b",
+        )
+        .select(F.least("da", "db").alias("md"))
+        .groupBy("md")
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    max_deg = deg.agg(F.max("deg").alias("m")).collect()[0]["m"]
+    deg.unpersist()
+    if max_deg is None:
+        return edges.sparkSession.createDataFrame(
+            [], "k long, phi double"
+        )
+    ks = edges.sparkSession.range(0, int(max_deg)).select(
+        F.col("id").alias("k")
+    )
+    wsfx = Window.orderBy(F.desc("deg")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nk = dh.select(
+        "deg", F.sum("nv").over(wsfx).alias("n_gt")
+    ).select(F.col("deg"), F.col("n_gt"))
+    wsfx_e = Window.orderBy(F.desc("md")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ek = eh.select("md", F.sum("ne").over(wsfx_e).alias("e_gt"))
+    # N_k = vertices with degree > k  = suffix count at smallest deg > k
+    out = (
+        ks.join(nk, nk["deg"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.max("n_gt").alias("n_k"))
+        .join(
+            ks.join(ek, ek["md"] > F.col("k"))
+            .groupBy("k")
+            .agg(F.max("e_gt").alias("e_k")),
+            "k",
+            "left",
+        )
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            (
+                2.0
+                * F.coalesce("e_k", F.lit(0))
+                / (F.col("n_k") * (F.col("n_k") - 1))
+            ).alias("phi"),
+        )
+    )
+    return out

@@ -34,6 +34,8 @@ __all__ = [
     "repetition_signals",
     "pii_scrub",
     "decontaminate",
+    "frequent_lines",
+    "remove_boilerplate_lines",
     "ngrams_expr",
     "EMAIL_RE",
     "PHONE_RE",
@@ -215,5 +217,96 @@ def decontaminate(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def frequent_lines(
+    df: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter lines: ``(line, n)`` for every non-empty
+    line occurring at least ``min_count`` times across all documents.
+
+    One explode + one partial-agg-friendly count. The output is SMALL by
+    construction — at threshold k over L total lines there are at most
+    L/k qualifying distinct lines — which is what makes the two-pass
+    boilerplate filter broadcast-able."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), "\n"), lambda s: s != "")
+            ).alias("line")
+        )
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    drop every line whose corpus-wide occurrence count is >=
+    ``min_count`` (nav bars, cookie banners, footers repeat across a
+    crawl; body text doesn't), keeping remaining lines in order.
+
+    Returns ``(doc_id, text, n_kept, n_dropped)`` for every input doc
+    (``text`` is '' when everything was boilerplate; empty input lines
+    are dropped and not counted).
+
+    Scale shape: pass 1 computes the heavy-hitter line set (small by
+    construction, see :func:`frequent_lines`); pass 2 is a BROADCAST
+    anti-membership check per line — no shuffle of the exploded corpus,
+    and reassembly is one ``groupBy(doc_id)`` whose per-doc line structs
+    are sorted by position (deterministic, no global window)."""
+    freq = F.broadcast(frequent_lines(df, min_count, text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda s: s != "")
+        ).alias("pos", "line"),
+    )
+    marked = exploded.join(
+        freq.select("line", F.lit(True).alias("is_boiler")), "line", "left"
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_boiler").isNull(),
+                            F.struct("pos", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.sum(F.when(F.col("is_boiler").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
         )
     )

@@ -1125,3 +1125,46 @@ def test_random_walks_exact_python_mirror(spark):
         if wid.startswith("b#") and 1 in seq
     )
     assert sum(first.values()) == R
+
+
+# ------------------------------------------------- graph stats (round 4b)
+def test_reciprocity_vs_nx(spark):
+    from jgtextrank_spark.algos.graphstats import reciprocity
+
+    edges = _rand_graph(seed=23, n=30, m=80, selfloops=False)
+    df = _edges_df(spark, edges)
+    G = nx.DiGraph()
+    G.add_edges_from((str(u), str(v)) for u, v in edges)
+    assert reciprocity(df) == pytest.approx(
+        nx.overall_reciprocity(G), abs=1e-12
+    )
+    # fully reciprocal and fully one-way extremes
+    both = _edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    assert reciprocity(both) == pytest.approx(1.0)
+    one = _edges_df(spark, [(0, 1), (1, 2)])
+    assert reciprocity(one) == pytest.approx(0.0)
+
+
+def test_transitivity_vs_nx(spark):
+    from jgtextrank_spark.algos.graphstats import transitivity
+
+    for seed, n, m in [(5, 25, 60), (9, 40, 70)]:
+        edges = _rand_graph(seed=seed, n=n, m=m, selfloops=False)
+        df = _edges_df(spark, edges)
+        G = _nx_graph(edges)
+        assert transitivity(df) == pytest.approx(
+            nx.transitivity(G), abs=1e-12
+        ), (seed, n, m)
+
+
+def test_rich_club_vs_nx(spark):
+    from jgtextrank_spark.algos.graphstats import rich_club
+
+    edges = _rand_graph(seed=31, n=30, m=70, selfloops=False)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    exp = nx.rich_club_coefficient(G, normalized=False)
+    got = {r["k"]: r["phi"] for r in rich_club(df).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12), k

@@ -427,3 +427,54 @@ def test_decontaminate(spark):
     assert got[3] == (1, True)   # distinct-per-doc: counted once
     assert got[4] == (0, False)
     assert got[5] == (0, False)
+
+
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style line filter: corpus-frequent lines dropped, unique
+    body lines kept in order; all-boilerplate and empty docs yield ''."""
+    from jgtextrank_spark.functions.curation import (
+        frequent_lines,
+        remove_boilerplate_lines,
+    )
+
+    nav = "NAV home about"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique body one\nsecond line one"),
+            (2, f"{nav}\nunique body two"),
+            (3, f"{nav}\nunique body three"),
+            (4, nav),              # all boilerplate
+            (5, ""),               # empty
+            (6, f"a\n{nav}\nz"),   # kept lines must stay ordered a,z
+        ],
+        "doc_id int, text string",
+    )
+    fl = {r["line"]: r["n"] for r in frequent_lines(docs, 3).collect()}
+    assert fl == {nav: 5}
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_lines(docs, 3).collect()
+    }
+    assert got == {
+        1: ("unique body one\nsecond line one", 2, 1),
+        2: ("unique body two", 1, 1),
+        3: ("unique body three", 1, 1),
+        4: ("", 0, 1),
+        5: ("", 0, 0),
+        6: ("a\nz", 2, 1),
+    }
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    """min_count is inclusive: a line on exactly the threshold drops."""
+    from jgtextrank_spark.functions.curation import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "dup\nx"), (2, "dup\ny"), (3, "solo\nz")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(docs, 2).collect()
+    }
+    assert got == {1: "x", 2: "y", 3: "solo\nz"}
