@@ -1136,6 +1136,127 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+SPAN_K = 5  # duplicate-span gate: minimal duplicated run length (tokens)
+BM25_K = 5  # BM25 gate: top-k per query
+BM25_QMOD = 101  # BM25 gate: queries = first 4 tokens of docs with id%MOD==7
+SG_WINDOW = 2  # skip-gram context window over the walk corpus
+QUOTA_N = 20  # stratified-sample gate: docs kept per language
+TEMP_ALPHA = 0.5  # temperature-mixture gate: alpha
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact substring (duplicate-span) dedup, Lee et al. 2022 style:
+    maximal token spans >= SPAN_K occurring >= 2 times in the corpus."""
+    _prep(spark)
+    from jgtextrank_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=SPAN_K)
+
+
+def q_strip_spans(spark, sf_dir):
+    """Span-dedup APPLICATION: duplicated spans removed keeping one
+    canonical occurrence per distinct span text (min (doc_id, start))."""
+    _prep(spark)
+    from jgtextrank_spark.functions.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=SPAN_K)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval; queries are derived deterministically from
+    the corpus itself (first 4 tokens of every doc with
+    doc_id % BM25_QMOD == 7), so the gate needs no external query set."""
+    _prep(spark)
+    from jgtextrank_spark.functions.search import bm25_topk
+    from jgtextrank_spark.functions.textstats import tokens_expr
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % BM25_QMOD == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 1, 4)).alias("text"),
+    )
+    return bm25_topk(docs, queries, k=BM25_K)
+
+
+def q_tfidf(spark, sf_dir):
+    """Full sparse TF-IDF table (sklearn-smoothed idf) over documents."""
+    _prep(spark)
+    from jgtextrank_spark.functions.search import tfidf_vectors
+
+    return tfidf_vectors(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH pairs -> connected components -> canonical survivor:
+    the end-to-end corpus-dedup composition (pair source and CC solver
+    are the gate-proven operators)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, bands=8, rows_per_band=2,
+        verify_threshold=JACCARD_T,
+    )
+    return dedup_clusters(pairs)
+
+
+def _gate_walks(spark, sf_dir):
+    from jgtextrank_spark.algos.walks import random_walks
+    from jgtextrank_spark.graph import symmetrize
+
+    return random_walks(
+        symmetrize(_doc_edges(spark, sf_dir)),
+        walks_per_vertex=1,
+        walk_length=WALK_STEPS,
+        seed=WALK_SEED,
+    )
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """DeepWalk corpus step: (center, context, n) skip-gram pairs within
+    SG_WINDOW steps on the gate's replayable random-walk set."""
+    _prep(spark)
+    from jgtextrank_spark.algos.walks import skipgram_pairs
+
+    return skipgram_pairs(_gate_walks(spark, sf_dir), window=SG_WINDOW)
+
+
+def q_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling distribution (count^0.75 normalized)
+    over the same walk corpus."""
+    _prep(spark)
+    from jgtextrank_spark.algos.walks import negative_sampling_table
+
+    return negative_sampling_table(_gate_walks(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (QUOTA_N docs per lang by
+    ascending md5-uniform) — training-mix construction."""
+    _prep(spark)
+    from jgtextrank_spark.functions.sampling import stratified_quota_sample
+
+    return stratified_quota_sample(
+        _docs(spark, sf_dir), "lang", quota=QUOTA_N
+    ).select("doc_id", "lang", "sample_rank")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature (alpha) mixture weights over languages: p_mix ∝
+    p_raw^alpha with per-stratum boost factors."""
+    _prep(spark)
+    from jgtextrank_spark.functions.sampling import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        _docs(spark, sf_dir), "lang", alpha=TEMP_ALPHA
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_textrank_keywords(spark, "/root/testdata/sf0.001")
@@ -1205,6 +1326,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_nation": q_orders_by_nation,
         "events_daily": q_events_daily,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_spans": q_strip_spans,
+        "bm25_topk": q_bm25_topk,
+        "tfidf": q_tfidf,
+        "dedup_clusters": q_dedup_clusters,
+        "skipgram_pairs": q_skipgram_pairs,
+        "negative_sampling": q_negative_sampling,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -2924,4 +3054,197 @@ hits AS (
 SELECT t.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM toks t LEFT JOIN hits h USING (doc_id)"""
+    # ---- duplicate-span (exact substring) dedup -------------------------
+    _SPAN_GRAMS = f"""
+stoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.pos - 1 AS pos,
+         md5(array_to_string(ts[u.pos : u.pos + {SPAN_K} - 1], ' ')) AS gh
+  FROM stoks, unnest(range(1, len(ts) - {SPAN_K} + 2)) AS u(pos)
+  WHERE len(ts) >= {SPAN_K}
+),
+dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dpos
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {SPAN_K} - 1 AS span_end, count(*) AS n_grams
+  FROM isl GROUP BY doc_id, grp
+)"""
+    d["duplicate_spans"] = f"""
+WITH {_SPAN_GRAMS}
+SELECT doc_id, span_start, span_end, n_grams FROM spans"""
+    d["strip_spans"] = f"""
+WITH {_SPAN_GRAMS},
+sfps AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         md5(array_to_string(
+           t.ts[s.span_start + 1 : s.span_end + 1], ' ')) AS sfp
+  FROM spans s JOIN stoks t USING (doc_id)
+),
+dropped AS (
+  SELECT doc_id, span_start, span_end FROM (
+    SELECT doc_id, span_start, span_end,
+           row_number() OVER (
+             PARTITION BY sfp ORDER BY doc_id, span_start) AS rn
+    FROM sfps
+  ) WHERE rn > 1
+),
+tokpos AS (
+  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS token
+  FROM stoks
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tokpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dropped x
+    WHERE x.doc_id = t.doc_id
+      AND t.pos BETWEEN x.span_start AND x.span_end
+  )
+),
+kagg AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(k.txt, '') AS text_clean
+FROM documents d LEFT JOIN kagg k USING (doc_id)"""
+    # ---- BM25 / TF-IDF retrieval ----------------------------------------
+    _POSTINGS = """
+rtoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+post AS (
+  SELECT u.term, doc_id, count(*)::BIGINT AS tf
+  FROM rtoks, unnest(ts) AS u(term) GROUP BY u.term, doc_id
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)"""
+    d["bm25_topk"] = f"""
+WITH {_POSTINGS},
+queries AS (
+  SELECT doc_id AS query_id, list_filter(ts[1:4], t -> t <> '') AS qts
+  FROM rtoks WHERE doc_id % {BM25_QMOD} = 7
+),
+qterms AS (
+  SELECT DISTINCT query_id, u.term FROM queries, unnest(qts) AS u(term)
+),
+dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM rtoks),
+scal AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len(ts)::DOUBLE) AS avgdl
+  FROM rtoks
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dd.dl / s.avgdl))
+         ), 6) AS score
+  FROM post p
+  JOIN qterms q USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl dd ON dd.doc_id = p.doc_id
+  CROSS JOIN scal s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_K}"""
+    d["tfidf"] = f"""
+WITH {_POSTINGS},
+scal AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT p.doc_id, p.term,
+       round(p.tf * (ln((1.0 + s.n_docs) / (1.0 + f.df)) + 1.0), 6)
+         AS tfidf
+FROM post p JOIN dfreq f USING (term) CROSS JOIN scal s"""
+    # ---- near-dup cluster resolution ------------------------------------
+    _mh = _minhash_sql()
+    d["dedup_clusters"] = f"""
+WITH RECURSIVE cpairs AS (
+  SELECT doc_a, doc_b FROM ({_mh})
+),
+cadj AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM cpairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cpairs
+  )
+),
+creach(v, lbl) AS (
+  SELECT src, src FROM cadj
+  UNION
+  SELECT a.dst, r.lbl FROM creach r JOIN cadj a ON a.src = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(lbl) AS canonical_doc FROM creach GROUP BY v
+)
+SELECT doc_id, canonical_doc,
+       count(*) OVER (PARTITION BY canonical_doc)::BIGINT AS cluster_size
+FROM comp"""
+    # ---- DeepWalk corpus: skip-gram pairs + negative sampling -----------
+    _wsql = _walks_sql(WALK_STEPS, WALK_SEED)
+    d["skipgram_pairs"] = f"""
+WITH walks AS (
+{_wsql}
+)
+SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SG_WINDOW}
+GROUP BY a.vertex, b.vertex"""
+    d["negative_sampling"] = f"""
+WITH walks AS (
+{_wsql}
+),
+wcounts AS (
+  SELECT vertex, count(*)::BIGINT AS n FROM walks GROUP BY vertex
+),
+wz AS (SELECT sum(pow(n::DOUBLE, 0.75)) AS z FROM wcounts)
+SELECT vertex, n, round(pow(n::DOUBLE, 0.75) / wz.z, 9) AS p_neg
+FROM wcounts, wz"""
+    # ---- deterministic sampling ------------------------------------------
+    d["stratified_sample"] = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         (('0x' || substring(md5('s0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+          / 281474976710656.0) AS uu
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY uu ASC, doc_id ASC
+         )::BIGINT AS sample_rank
+  FROM u
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= {QUOTA_N}"""
+    d["temperature_mixture"] = f"""
+WITH counts AS (
+  SELECT lang AS stratum, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT sum(n_docs)::DOUBLE AS n_tot,
+         sum(pow(n_docs::DOUBLE, {TEMP_ALPHA})) AS z
+  FROM counts
+)
+SELECT stratum, n_docs,
+       round(n_docs::DOUBLE / t.n_tot, 9) AS p_raw,
+       round(pow(n_docs::DOUBLE, {TEMP_ALPHA}) / t.z, 9) AS p_mix,
+       round((pow(n_docs::DOUBLE, {TEMP_ALPHA}) / t.z)
+             / (n_docs::DOUBLE / t.n_tot), 9) AS boost
+FROM counts, t"""
     return d

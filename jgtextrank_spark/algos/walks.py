@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["random_walks"]
+__all__ = ["random_walks", "skipgram_pairs", "negative_sampling_table"]
 
 _SCALE = float(2**48)
 
@@ -146,3 +146,60 @@ def random_walks(
         out = out.unionByName(p)
     adj.unpersist()
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus: ``(center, context,
+    n)`` — every ordered (center, context) vertex pair within ``window``
+    steps of each other on the same walk, with its corpus count. This is
+    the DeepWalk/node2vec corpus step between :func:`random_walks` and an
+    embedding trainer (word2vec consumes exactly these pairs).
+
+    Plan: ONE self-equi-join on ``walk_id`` with the banded step filter
+    ``0 < |i - j| <= window`` plus a count aggregation. Walks are short
+    (walk_length + 1 rows), so the join fan-out per key is bounded by
+    (walk_length+1)^2 — no skew risk regardless of graph shape, because
+    walk_id (not vertex id) is the key: a hub vertex appears on many
+    DIFFERENT walks, which spread over partitions."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def negative_sampling_table(
+    walks: DataFrame, alpha: float = 0.75, round_to: int = 9
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution over the walk
+    corpus: ``(vertex, n, p_neg)`` with ``p_neg ∝ count(vertex)^alpha``
+    normalized to sum 1 (alpha=0.75 is the canonical smoothing). One
+    partial-agg count plus a broadcast 1-row normalizer join — the
+    distribution table is vertex-cardinality-sized, tiny next to the
+    corpus, and feeds the trainer's sampler directly."""
+    counts = walks.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.select(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("z")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "vertex",
+        "n",
+        F.round(
+            F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("z"),
+            round_to,
+        ).alias("p_neg"),
+    )

@@ -24,6 +24,11 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "kgram_positions",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "dedup_clusters",
+    "dedup_filter",
 ]
 
 
@@ -386,3 +391,221 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicate-span) deduplication
+# ---------------------------------------------------------------------------
+
+def kgram_positions(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Positional k-gram table ``(doc_id, pos, gh)``: one row per token
+    position ``pos`` (0-based) whose k-token window starts there, with
+    ``gh = md5`` of the space-joined window.
+
+    Built with array higher-order functions (sequence/transform/slice) —
+    zero shuffle, no positional self-join, no Python in the hot path. The
+    md5 key makes the whole pipeline bit-replayable in any engine
+    (the correctness gate replays it in DuckDB)."""
+    toks = tokens_expr(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,gh:string>>"))
+    return df.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the "deduplicating training data"
+    substring-dedup operator, cf. Lee et al. 2022): find every maximal
+    token span of length >= k that occurs at least ``min_occurrences``
+    times in the corpus.
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` — token indices
+    are 0-based and ``span_end`` is INCLUSIVE; ``n_grams`` is the number
+    of duplicated k-grams merged into the span (span length in tokens is
+    ``span_end - span_start + 1 = n_grams + k - 1``).
+
+    Plan shape (scale rationale): one zero-shuffle k-gram projection
+    (O(total tokens) rows), one partial-agg groupBy on the 16-byte gram
+    hash, one shuffle hash join back to positions, then a PER-DOC window
+    (gaps-and-islands: ``pos - row_number()``) to merge adjacent
+    duplicated positions into maximal runs. Nothing is quadratic in
+    corpus size and no window is global, so the plan survives 100x:
+    the gram aggregation is the only corpus-wide exchange.
+
+    ``cross_doc_only=True`` counts a gram as duplicated only when it
+    appears in >= 2 distinct documents (pure within-doc repetition is
+    the repetition-signal operator's job, functions/curation.py)."""
+    g = kgram_positions(df, text_col, k)
+    occ = g.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    cond = F.col("n_occ") >= min_occurrences
+    if cross_doc_only:
+        cond = cond & (F.col("n_docs") >= 2)
+    dup = occ.filter(cond).select("gh")
+    dp = g.join(dup, "gh").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dp.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans, keeping ONE canonical occurrence of each
+    distinct span text: ``(doc_id, text_clean)``.
+
+    Policy (deterministic): spans from :func:`duplicate_spans` are
+    fingerprinted by the md5 of their token string; for each fingerprint
+    the occurrence with the smallest ``(doc_id, span_start)`` survives,
+    every other occurrence's tokens are dropped and the remaining tokens
+    are re-joined with single spaces. Docs with no duplicated span pass
+    through with normalized whitespace (so output framing is uniform).
+
+    Scale: the keep/drop decision is a window over the span FINGERPRINT
+    (cardinality = number of distinct duplicated span texts, each group
+    tiny), dropped ranges per doc are collected into a per-doc array
+    (bounded by spans-per-doc), and token filtering is array algebra —
+    no global window, no Python."""
+    spans = duplicate_spans(df, text_col, k, min_occurrences)
+    toks_df = df.select(
+        "doc_id", tokens_expr(text_col).alias("toks")
+    )
+    sp = spans.join(toks_df, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("span_start") + 1).cast("int"),
+                    (F.col("span_end") - F.col("span_start") + 1).cast(
+                        "int"
+                    ),
+                ),
+            )
+        ).alias("sfp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sfp").orderBy("doc_id", "span_start")
+    drop = (
+        sp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("drop_ranges")
+        )
+    )
+    indexed = F.transform(
+        "toks", lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(
+                F.col("drop_ranges"),
+                F.array().cast(
+                    "array<struct<span_start:long,span_end:long>>"
+                ),
+            ),
+            lambda r: (x["i"] >= r["span_start"])
+            & (x["i"] <= r["span_end"]),
+        ),
+    )
+    return toks_df.join(drop, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda x: x["t"])
+        ).alias("text_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (pairs -> clusters -> canonical survivor)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Resolve a near-duplicate PAIR table into CLUSTERS:
+    ``(doc_id, canonical_doc, cluster_size)`` — connected components over
+    the undirected pair graph (near-dup similarity is not transitive, but
+    cluster-then-keep-one is the standard corpus-dedup policy), canonical
+    = min doc_id per cluster. Docs that appear in no pair are absent
+    (each is trivially its own canonical).
+
+    End-to-end composition of the engine's own parts: the pair source is
+    any of ``minhash_lsh_pairs`` / ``simhash_near_dup_pairs`` /
+    ``ngram_jaccard_pairs`` / ``embedding_near_dup_pairs``, and the
+    clustering is ``algos.components.connected_components`` (hash-min +
+    pointer jumping — O(log d) rounds, scale-proven on the gate's token
+    graphs), so the whole path inherits the skew and shuffle behavior
+    already benchmarked."""
+    from ..algos.components import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).withColumn("weight", F.lit(1.0))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("canonical_doc"),
+        "cluster_size",
+    )
+
+
+def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Apply cluster dedup to the corpus: input docs plus a ``keep``
+    flag — true iff the doc is not near-duplicated or is its cluster's
+    canonical survivor. A left join against the (small relative to the
+    corpus) cluster table; the corpus itself is never shuffled."""
+    clusters = dedup_clusters(pairs)
+    return docs.join(
+        F.broadcast(
+            clusters.select(
+                "doc_id", F.col("canonical_doc").alias("_canon")
+            )
+        ),
+        "doc_id",
+        "left",
+    ).withColumn(
+        "keep",
+        F.col("_canon").isNull() | (F.col("_canon") == F.col("doc_id")),
+    ).drop("_canon")

@@ -1,0 +1,372 @@
+"""Tests for the round-4 training-pipeline additions: duplicate-span
+(exact substring) dedup, BM25/TF-IDF retrieval, near-dup cluster
+resolution, skip-gram corpus generation, and deterministic sampling.
+Brute-force Python oracles throughout."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jgtextrank_spark.functions.dedup import (
+    dedup_clusters,
+    dedup_filter,
+    duplicate_spans,
+    kgram_positions,
+    minhash_lsh_pairs,
+    strip_duplicate_spans,
+)
+from jgtextrank_spark.functions.sampling import (
+    hash_sample,
+    hash_uniform,
+    stratified_quota_sample,
+    temperature_mixture_weights,
+)
+from jgtextrank_spark.functions.search import (
+    bm25_topk,
+    term_postings,
+    tfidf_vectors,
+)
+from jgtextrank_spark.algos.walks import (
+    negative_sampling_table,
+    skipgram_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# duplicate spans
+# ---------------------------------------------------------------------------
+
+_SPAN_DOCS = [
+    (1, "a b c d e f g h the quick brown fox jumps over the lazy dog x y"),
+    (2, "z z the quick brown fox jumps over the lazy dog q r s"),
+    (3, "unrelated text entirely different tokens here now"),
+    (4, "a b c d e f g h extra tail words"),
+    (5, "tiny doc"),
+]
+
+
+def _brute_spans(docs, k, min_occ=2):
+    grams = {}
+    for did, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[i : i + k]), []).append((did, i))
+    dup_pos = {}
+    for g, occs in grams.items():
+        if len(occs) >= min_occ:
+            for did, i in occs:
+                dup_pos.setdefault(did, set()).add(i)
+    out = set()
+    for did, poss in dup_pos.items():
+        run = []
+        for p in sorted(poss):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((did, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+        if run:
+            out.add((did, run[0], run[-1] + k - 1, len(run)))
+    return out
+
+
+def test_duplicate_spans_brute_force(spark):
+    docs = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    for k in (3, 5, 8):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+            for r in duplicate_spans(docs, k=k).collect()
+        }
+        assert got == _brute_spans(_SPAN_DOCS, k), f"k={k}"
+
+
+def test_kgram_positions_short_doc_empty(spark):
+    docs = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    assert kgram_positions(docs, k=5).count() == 0
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    # "p q r s t" repeats only WITHIN doc 9 -> excluded by cross_doc_only
+    docs = spark.createDataFrame(
+        [(9, "p q r s t u v p q r s t"), (10, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    within = duplicate_spans(docs, k=5).collect()
+    assert len(within) > 0
+    cross = duplicate_spans(docs, k=5, cross_doc_only=True).collect()
+    assert cross == []
+
+
+def test_strip_duplicate_spans_keeps_one_canonical(spark):
+    docs = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_duplicate_spans(docs, k=5).collect()
+    }
+    # doc 1 is canonical for both duplicated span texts -> unchanged
+    assert got[1] == _SPAN_DOCS[0][1]
+    # doc 2 loses the 9-token quick-brown-fox span, doc 4 the a..h prefix
+    assert got[2] == "z z q r s"
+    assert got[4] == "extra tail words"
+    # untouched docs pass through (whitespace-normalized framing)
+    assert got[3] == _SPAN_DOCS[2][1]
+    assert got[5] == "tiny doc"
+
+
+def test_strip_then_redetect_finds_nothing(spark):
+    # after stripping, no k-gram occurs twice anymore
+    docs = spark.createDataFrame(_SPAN_DOCS, ["doc_id", "text"])
+    clean = strip_duplicate_spans(docs, k=5).withColumnRenamed(
+        "text_clean", "text"
+    )
+    assert duplicate_spans(clean, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 / TF-IDF
+# ---------------------------------------------------------------------------
+
+_CORPUS = [
+    (1, "spark shuffles data between stages"),
+    (2, "spark caches data in memory for iterative jobs"),
+    (3, "the optimizer prunes columns and pushes filters"),
+    (4, "iterative graph jobs checkpoint lineage"),
+    (5, "memory pressure spills shuffle data to disk"),
+]
+
+
+def _brute_bm25(corpus, query_terms, k1=1.2, b=0.75):
+    n = len(corpus)
+    dls = {d: len(t.split()) for d, t in corpus}
+    avgdl = sum(dls.values()) / n
+    dfs = {}
+    tfs = {}
+    for d, t in corpus:
+        toks = t.split()
+        for term in set(toks):
+            dfs[term] = dfs.get(term, 0) + 1
+        for term in toks:
+            tfs[(term, d)] = tfs.get((term, d), 0) + 1
+    scores = {}
+    for d, _ in corpus:
+        s = 0.0
+        hit = False
+        for term in set(query_terms):
+            tf = tfs.get((term, d), 0)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dls[d] / avgdl)
+            )
+        if hit:
+            scores[d] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_brute_force(spark):
+    docs = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(100, "spark data"), (200, "iterative jobs memory")],
+        ["query_id", "text"],
+    )
+    rows = bm25_topk(docs, queries, k=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert got[100] == _brute_bm25(_CORPUS, ["spark", "data"])
+    assert got[200] == _brute_bm25(_CORPUS, ["iterative", "jobs", "memory"])
+    # ranks are 1..n, descending score, doc_id tiebreak
+    for qid in (100, 200):
+        qrows = sorted(
+            (r for r in rows if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )
+        assert [r["rank"] for r in qrows] == list(range(1, len(qrows) + 1))
+        keys = [(-r["score"], r["doc_id"]) for r in qrows]
+        assert keys == sorted(keys)
+
+
+def test_bm25_topk_truncates(spark):
+    docs = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    queries = spark.createDataFrame([(1, "data jobs")], ["query_id", "text"])
+    assert bm25_topk(docs, queries, k=2).count() == 2
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    q1 = spark.createDataFrame([(1, "spark")], ["query_id", "text"])
+    q2 = spark.createDataFrame([(1, "spark spark spark")], ["query_id", "text"])
+    r1 = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, q1, k=10).collect()}
+    r2 = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, q2, k=10).collect()}
+    assert r1 == r2
+
+
+def test_tfidf_matches_brute_force(spark):
+    docs = spark.createDataFrame(_CORPUS, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_vectors(docs).collect()
+    }
+    n = len(_CORPUS)
+    dfs = {}
+    for _, t in _CORPUS:
+        for term in set(t.split()):
+            dfs[term] = dfs.get(term, 0) + 1
+    for d, t in _CORPUS:
+        toks = t.split()
+        for term in set(toks):
+            tf = toks.count(term)
+            want = round(
+                tf * (math.log((1 + n) / (1 + dfs[term])) + 1), 6
+            )
+            assert got[(d, term)] == pytest.approx(want, abs=1e-9)
+    assert len(got) == sum(len(set(t.split())) for _, t in _CORPUS)
+
+
+def test_term_postings_counts(spark):
+    docs = spark.createDataFrame([(1, "a b a  a"), (2, "b")], ["doc_id", "text"])
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in term_postings(docs).collect()
+    }
+    assert got == {("a", 1): 3, ("b", 1): 1, ("b", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters
+# ---------------------------------------------------------------------------
+
+def test_dedup_clusters_transitive(spark):
+    # chain 1-2-3 plus isolated pair 7-9: CC must merge the chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: (r["canonical_doc"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2),
+    }
+
+
+def test_dedup_filter_keeps_canonicals_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 5, 7, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["keep"] for r in dedup_filter(docs, pairs).collect()}
+    assert got == {1: True, 2: False, 3: False, 5: True, 7: True, 9: False}
+
+
+def test_dedup_clusters_end_to_end_minhash(spark):
+    # three literal copies + one unrelated doc
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " tail"), (4, "something else wholly")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(docs, n=3, bands=8, rows_per_band=2,
+                              verify_threshold=0.5)
+    got = {
+        r["doc_id"]: r["canonical_doc"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# skip-gram corpus + negative sampling
+# ---------------------------------------------------------------------------
+
+def test_skipgram_pairs_brute_force(spark):
+    walks = [
+        ("w1", [("a"), "b", "c", "d"]),
+        ("w2", ["b", "c"]),
+    ]
+    rows = [
+        (wid, i, v) for wid, vs in walks for i, v in enumerate(vs)
+    ]
+    wdf = spark.createDataFrame(rows, ["walk_id", "step", "vertex"])
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(wdf, window=2).collect()
+    }
+    want = {}
+    for _, vs in walks:
+        for i, c in enumerate(vs):
+            for j, x in enumerate(vs):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    assert got == want
+
+
+def test_negative_sampling_distribution(spark):
+    wdf = spark.createDataFrame(
+        [("w", i, v) for i, v in enumerate("a a a a b b c".split())],
+        ["walk_id", "step", "vertex"],
+    )
+    rows = {r["vertex"]: r for r in negative_sampling_table(wdf).collect()}
+    z = 4**0.75 + 2**0.75 + 1
+    assert rows["a"]["n"] == 4
+    assert rows["a"]["p_neg"] == pytest.approx(4**0.75 / z, abs=1e-8)
+    assert rows["c"]["p_neg"] == pytest.approx(1 / z, abs=1e-8)
+    assert sum(r["p_neg"] for r in rows.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in hash_sample(df, 0.2).collect()}
+    s20b = {r["doc_id"] for r in hash_sample(df, 0.2).collect()}
+    s50 = {r["doc_id"] for r in hash_sample(df, 0.5).collect()}
+    assert s20 == s20b  # replayable
+    assert s20 <= s50  # thresholds nest: a bigger sample CONTAINS a smaller
+    assert 0.15 < len(s20) / 2000 < 0.25
+    other = {r["doc_id"] for r in hash_sample(df, 0.2, seed="s1").collect()}
+    assert other != s20  # seed changes membership
+
+
+def test_stratified_quota_sample(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_quota_sample(df, "lang", quota=10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 10, "de": 10}
+    # membership = the 10 smallest hash_uniform values per stratum
+    u = {
+        r["doc_id"]: r["u"]
+        for r in df.select("doc_id", hash_uniform("doc_id").alias("u")).collect()
+    }
+    for lang, members in by_lang.items():
+        pool = sorted(
+            (d for d, l_ in rows if l_ == lang), key=lambda d: (u[d], d)
+        )
+        assert sorted(m["doc_id"] for m in members) == sorted(pool[:10])
+
+
+def test_temperature_mixture_weights(spark):
+    rows = [(i, "en") for i in range(90)] + [(i + 1000, "de") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {r["stratum"]: r for r in
+           temperature_mixture_weights(df, "lang", alpha=0.5).collect()}
+    z = 90**0.5 + 10**0.5
+    assert out["en"]["p_raw"] == pytest.approx(0.9, abs=1e-9)
+    assert out["de"]["p_mix"] == pytest.approx(10**0.5 / z, abs=1e-8)
+    # temperature UPSAMPLES the rare stratum, DOWNSAMPLES the common one
+    assert out["de"]["boost"] > 1.0 > out["en"]["boost"]
+    # alpha=1 is a no-op mixture
+    flat = {r["stratum"]: r for r in
+            temperature_mixture_weights(df, "lang", alpha=1.0).collect()}
+    assert flat["en"]["boost"] == pytest.approx(1.0, abs=1e-8)
+    assert flat["de"]["boost"] == pytest.approx(1.0, abs=1e-8)
