@@ -269,6 +269,69 @@ def bench_pagerank_convergence(
     }
 
 
+def bench_warm_start(
+    spark: SparkSession,
+    n_vertices: int = 200_000,
+    n_edges: int = 2_000_000,
+) -> dict:
+    """Incremental PageRank on a crawl delta: converge on snapshot A,
+    perturb ~1% of edges (the typical recrawl churn), then converge on
+    snapshot B cold vs warm-started from A's scores. The payoff metric
+    is the superstep count — at web scale each saved superstep is a full
+    pass over the adjacency."""
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.algos.pagerank import pagerank_result
+
+    edges_a = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges_a.count()
+    # ~1% churn: bump the weight of edges whose (src+dst) hash lands in
+    # one bucket of 100 (deterministic, no RNG state)
+    churn = F.pmod(F.xxhash64("src", "dst"), F.lit(100)) == 0
+    edges_b = edges_a.withColumn(
+        "weight",
+        F.when(churn, F.col("weight") * 3.0).otherwise(F.col("weight")),
+    ).persist()
+    edges_b.count()
+
+    tol = 1.0e-6 / n_vertices
+    res_a, _ = pagerank_result(
+        edges_a, tol=tol, checkpoint_every=0, truncate_every=3
+    )
+    prior = res_a.state.select(
+        F.col("vertex").alias("id"), "rank"
+    ).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    cold, _ = pagerank_result(
+        edges_b, tol=tol, checkpoint_every=0, truncate_every=3
+    )
+    cold_wall = time.time() - t0
+    t0 = time.time()
+    warm, _ = pagerank_result(
+        edges_b, tol=tol, checkpoint_every=0, truncate_every=3,
+        init_scores=prior,
+    )
+    warm_wall = time.time() - t0
+    edges_a.unpersist()
+    edges_b.unpersist()
+    cold_steps = len([m for m in cold.metrics if m["event"] == "step"])
+    warm_steps = len([m for m in warm.metrics if m["event"] == "step"])
+    return {
+        "vertices": n_vertices,
+        "edges": n_edges,
+        "churned_edge_pct": 1.0,
+        "cold_supersteps": cold_steps,
+        "warm_supersteps": warm_steps,
+        "cold_wall_sec": round(cold_wall, 3),
+        "warm_wall_sec": round(warm_wall, 3),
+        "superstep_savings_pct": round(
+            100.0 * (1 - warm_steps / max(1, cold_steps)), 1
+        ),
+        "converged": bool(cold.converged and warm.converged),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -375,10 +438,31 @@ def main() -> None:
         ),
     )
 
+    timed(
+        "duplicate_spans",
+        lambda: entrymod.q_duplicate_spans(spark, sf_dir).count(),
+    )
+    timed(
+        "bm25_topk",
+        lambda: entrymod.q_bm25_topk(spark, sf_dir).count(),
+    )
+    timed(
+        "dedup_clusters",
+        lambda: entrymod.q_dedup_clusters(spark, sf_dir).count(),
+    )
+    timed(
+        "skipgram_pairs",
+        lambda: entrymod.q_skipgram_pairs(spark, sf_dir).count(),
+    )
+
     # distributed SCC rounds on the 2M-edge power-law digraph (giant SCC
     # + ~1% tendrils under this generator — the bow-tie regime)
     scc_detail = bench_scc_distributed(spark)
     queries["scc_powerlaw_2m"] = scc_detail["wall_sec"]
+
+    # incremental PageRank: warm-start superstep savings on a 1% delta
+    warm_detail = bench_warm_start(spark)
+    queries["pagerank_warm_start_2m"] = warm_detail["warm_wall_sec"]
 
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
@@ -402,6 +486,7 @@ def main() -> None:
             "coreness_hindex": kcore,
             "hyperball": hb,
             "scc_distributed": scc_detail,
+            "pagerank_warm_start": warm_detail,
         },
     }
     print(json.dumps(out))

@@ -49,6 +49,7 @@ def pagerank_result(
     truncate_every: int = 1,
     salt_buckets: int = 0,
     personalization: DataFrame | None = None,
+    init_scores: DataFrame | None = None,
 ) -> tuple[SuperstepResult, int]:
     """Run PageRank, returning the full superstep result (state has columns
     ``vertex, rank, dangling, prev_rank``) plus N. ``edges`` are directed
@@ -64,6 +65,12 @@ def pagerank_result(
     nodelist). The per-vertex weight rides the state as a
     column, so the superstep plan shape is unchanged: no extra join, the
     same single fused delta+dangle action.
+
+    ``init_scores`` (columns ``id, rank``) warm-starts the power
+    iteration from a prior run's scores (incremental recomputation after
+    a crawl delta — see weblinks edge_diff): the fixpoint is unchanged,
+    convergence just starts closer, so fewer supersteps. Missing ids get
+    the uniform prior; the seed vector is renormalized to sum 1.
 
     ``salt_buckets > 0`` enables the explicit skew path for extreme hubs
     (SURVEY §4.2.2-4.2.3; degree >> E/partitions, e.g. 10^8-in-degree
@@ -172,12 +179,43 @@ def pagerank_result(
         )
         return SuperstepResult(empty, 0, True, []), 0
 
-    init = verts.select(
-        "vertex",
-        F.lit(1.0 / n).alias("rank"),  # nx starts uniform even personalized
-        (~F.col("has_out")).alias("dangling"),
-        *([F.col("pv")] if personalization is not None else []),
-    )
+    if init_scores is None:
+        init = verts.select(
+            "vertex",
+            F.lit(1.0 / n).alias("rank"),  # nx starts uniform, even pers.
+            (~F.col("has_out")).alias("dangling"),
+            *([F.col("pv")] if personalization is not None else []),
+        )
+    else:
+        # Warm start (incremental recomputation on crawl deltas): seed
+        # the iteration from a prior run's scores. Vertices absent from
+        # the prior snapshot get the uniform 1/n prior; the whole vector
+        # is then renormalized to sum 1 so convergence lands on the SAME
+        # fixpoint as a cold start (the stationary distribution is
+        # init-independent) — only the superstep count changes. The
+        # normalizer is one extra action at startup, not per superstep.
+        seeded = verts.join(
+            init_scores.select(
+                F.col("id").alias("vertex"),
+                F.col("rank").cast("double").alias("r0"),
+            ),
+            "vertex",
+            "left",
+        ).select(
+            "vertex",
+            "has_out",
+            F.coalesce("r0", F.lit(1.0 / n)).alias("r0"),
+            *([F.col("pv")] if personalization is not None else []),
+        )
+        rsum = seeded.agg(F.sum("r0").alias("s")).collect()[0]["s"]
+        if not rsum or rsum <= 0:
+            raise ValueError("init_scores must have positive total mass")
+        init = seeded.select(
+            "vertex",
+            (F.col("r0") / F.lit(rsum)).alias("rank"),
+            (~F.col("has_out")).alias("dangling"),
+            *([F.col("pv")] if personalization is not None else []),
+        ).localCheckpoint(eager=True)  # truncate the prior-join lineage
 
     def _b(df):
         return F.broadcast(df) if bcast else df
@@ -284,6 +322,15 @@ def pagerank(
         from ..graph import decode_scores, encode_vertices
 
         enc_edges, vdict = encode_vertices(edges, extra_vertices=vertices)
+        init0 = kwargs.pop("init_scores", None)
+        if init0 is not None:
+            # translate warm-start ids through the same dictionary; ids
+            # absent from the graph are dropped (they get the uniform
+            # prior inside pagerank_result, same as the plain path).
+            renamed0 = vdict.withColumnRenamed("token", "orig0")
+            kwargs["init_scores"] = init0.join(
+                renamed0, init0["id"] == renamed0["orig0"]
+            ).select(renamed0["id"].alias("id"), init0["rank"])
         pers = kwargs.pop("personalization", None)
         if pers is not None:
             # translate personalization ids through the same dictionary.

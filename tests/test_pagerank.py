@@ -174,3 +174,78 @@ def test_personalized_pagerank_parity(spark):
     )
     with pytest.raises(Exception, match="sum > 0"):
         pagerank(edf, personalization=allout)
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """init_scores warm start: identical converged scores (1e-6), fewer
+    supersteps when seeding from a near-identical graph's solution —
+    the incremental-recompute path for crawl deltas."""
+    rng = random.Random(11)
+    n = 80
+    dedup = {}
+    for _ in range(600):
+        dedup[(rng.randrange(n), rng.randrange(n))] = rng.uniform(0.5, 2.0)
+    edges_a = [(s, d, w) for (s, d), w in dedup.items()]
+    # snapshot B: perturb a handful of edges
+    dedup[(0, 1)] = 5.0
+    dedup[(2, 3)] = 0.1
+    edges_b = [(s, d, w) for (s, d), w in dedup.items()]
+
+    res_a, _ = pagerank_result(_make_edges_df(spark, edges_a))
+    prior = res_a.state.select(
+        F.col("vertex").alias("id"), "rank"
+    ).localCheckpoint(eager=True)
+
+    cold, _ = pagerank_result(_make_edges_df(spark, edges_b))
+    warm, _ = pagerank_result(
+        _make_edges_df(spark, edges_b), init_scores=prior
+    )
+    assert warm.converged and cold.converged
+    assert warm.iterations < cold.iterations
+    c = {r["vertex"]: r["rank"] for r in cold.state.collect()}
+    w = {r["vertex"]: r["rank"] for r in warm.state.collect()}
+    assert set(c) == set(w)
+    for v in c:
+        assert abs(c[v] - w[v]) < 5e-6, v
+
+
+def test_warm_start_new_vertices_get_uniform_prior(spark):
+    # prior covers only part of the graph + one out-of-graph id; the run
+    # must still converge to the cold-start fixpoint
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0)]
+    prior = spark.createDataFrame(
+        [("1", 0.9), ("2", 0.1), ("99", 4.0)], ["id", "rank"]
+    )
+    cold, _ = pagerank_result(_make_edges_df(spark, edges))
+    warm, _ = pagerank_result(_make_edges_df(spark, edges), init_scores=prior)
+    c = {r["vertex"]: r["rank"] for r in cold.state.collect()}
+    w = {r["vertex"]: r["rank"] for r in warm.state.collect()}
+    for v in c:
+        assert abs(c[v] - w[v]) < 5e-6, v
+
+
+def test_warm_start_encoded_matches_plain(spark):
+    edges = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (1, 3, 0.5)]
+    prior = spark.createDataFrame([("2", 0.7), ("3", 0.3)], ["id", "rank"])
+    plain = {
+        r["vertex"]: r["score"]
+        for r in pagerank(
+            _make_edges_df(spark, edges), init_scores=prior
+        ).collect()
+    }
+    enc = {
+        r["vertex"]: r["score"]
+        for r in pagerank(
+            _make_edges_df(spark, edges), init_scores=prior, encode_ids=True
+        ).collect()
+    }
+    assert set(plain) == set(enc)
+    for v in plain:
+        assert abs(plain[v] - enc[v]) < 1e-9, v
+
+
+def test_warm_start_zero_mass_raises(spark):
+    edges = [(1, 2, 1.0), (2, 1, 1.0)]
+    bad = spark.createDataFrame([("1", -1.0), ("2", 0.0)], ["id", "rank"])
+    with pytest.raises(Exception):
+        pagerank_result(_make_edges_df(spark, edges), init_scores=bad)
