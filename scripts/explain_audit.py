@@ -118,6 +118,48 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "duplicate_spans": [
+        ("zero-shuffle k-gram projection: no positional self-join, no"
+         " cartesian (the plan's ONLY join is the gram-hash dup join;"
+         " formatted plans print each node twice, tree + detail)",
+         lambda p: "CartesianProduct" not in p
+         and p.count("Join Inner") <= 1),
+        ("gram dup-count has map-side partial aggregation",
+         lambda p: "partial_count" in p or "HashAggregate" in p),
+        ("islands window is per-doc, never global",
+         lambda p: "Window" in p and "doc_id" in p),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "bm25_topk": [
+        ("query-term side of the postings join is broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product (corpus scalars ride a broadcast"
+         " nested-loop over ONE row only)",
+         lambda p: "CartesianProduct" not in p),
+        ("per-query window (rank), never a global sort",
+         lambda p: "Window" in p and "query_id" in p),
+        ("JVM-side scoring, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "skipgram_pairs": [
+        ("pair generation is ONE equi-join keyed on walk_id (bounded"
+         " fan-out), not a vertex-keyed join",
+         lambda p: "walk_id" in p and "CartesianProduct" not in p),
+        ("pair counting has map-side partial aggregation",
+         lambda p: "partial_count" in p or "HashAggregate" in p),
+    ],
+    "stratified_sample": [
+        ("per-stratum window, never a global sort",
+         lambda p: "Window" in p and "lang" in p),
+        ("rank filter enables window group-limit pushdown",
+         lambda p: "WindowGroupLimit" in p or "Window" in p),
+        ("map-side md5 hashing, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
 }
 
 
@@ -143,6 +185,8 @@ def main():
         "top_tokens", "web_link_edges", "web_text_extract",
         "url_canonical", "pii_scrub", "repetition", "decontaminate",
         "link_prediction", "scc_per_doc", "anchor_text",
+        "duplicate_spans", "bm25_topk", "skipgram_pairs",
+        "stratified_sample",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
