@@ -1257,6 +1257,40 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+CRAWL_RATE = 3  # crawl-schedule gate: max fetches per host per wave
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl loop: frontier discovery (link dsts not yet crawled, with
+    discovery in-degree) + politeness scheduling (per-host waves of
+    CRAWL_RATE). Oracle re-derives the frontier from the synthetic
+    pages' closed-form link arithmetic."""
+    _prep(spark)
+    from jgtextrank_spark.crawl import crawl_schedule, frontier_urls
+    from jgtextrank_spark.weblinks import link_edges
+
+    pages = _synth_pages(spark, sf_dir)
+    frontier = frontier_urls(link_edges(pages), pages.select("url"))
+    return crawl_schedule(frontier, per_host_rate=CRAWL_RATE)
+
+
+def q_butterflies(spark, sf_dir):
+    """Bipartite butterfly (4-cycle) counts per document over the
+    doc<->token incidence structure."""
+    _prep(spark)
+    from jgtextrank_spark.algos.bipartite import butterfly_counts
+
+    from jgtextrank_spark.functions.textstats import tokens_expr
+
+    incidence = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("left"),
+        F.explode(tokens_expr("text")).alias("right"),
+    )
+    return butterfly_counts(incidence).withColumnRenamed(
+        "vertex", "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_textrank_keywords(spark, "/root/testdata/sf0.001")
@@ -1335,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "stratified_sample": q_stratified_sample,
         "temperature_mixture": q_temperature_mixture,
+        "crawl_frontier": q_crawl_frontier,
+        "butterflies": q_butterflies,
     }
 
 
@@ -3247,4 +3283,52 @@ SELECT stratum, n_docs,
        round((pow(n_docs::DOUBLE, {TEMP_ALPHA}) / t.z)
              / (n_docs::DOUBLE / t.n_tot), 9) AS boost
 FROM counts, t"""
+    # ---- crawl frontier + politeness schedule ----------------------------
+    # closed-form link derivation (same as web_link_edges); crawled set =
+    # the page urls themselves; host parsed with the SAME regexp as
+    # weblinks.host_of
+    d["crawl_frontier"] = f"""
+WITH {_WEB_LINK_EDGES},
+crawled AS (SELECT src AS url FROM base),
+refs AS (
+  SELECT dst AS url, count(*)::BIGINT AS n_refs
+  FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY dst
+),
+fr AS (
+  SELECT r.url,
+         lower(regexp_extract(
+           r.url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+         r.n_refs
+  FROM refs r
+  WHERE r.url NOT IN (SELECT url FROM crawled)
+),
+ranked AS (
+  SELECT url, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY n_refs DESC, url ASC
+         )::BIGINT AS host_rank
+  FROM fr
+)
+SELECT url, host, host_rank,
+       ceil(host_rank::DOUBLE / {CRAWL_RATE})::BIGINT AS wave
+FROM ranked"""
+    # ---- bipartite butterflies -------------------------------------------
+    d["butterflies"] = f"""
+WITH {_TOK},
+binc AS (SELECT DISTINCT doc_id AS l, token AS r FROM tok),
+bpairs AS (
+  SELECT a.l AS a, b.l AS b, count(*) AS c
+  FROM binc a JOIN binc b ON a.r = b.r AND a.l < b.l
+  GROUP BY a.l, b.l HAVING count(*) >= 2
+),
+bfsum AS (
+  SELECT vertex, sum(bf)::BIGINT AS butterflies FROM (
+    SELECT a AS vertex, ((c * (c - 1)) / 2)::BIGINT AS bf FROM bpairs
+    UNION ALL
+    SELECT b AS vertex, ((c * (c - 1)) / 2)::BIGINT AS bf FROM bpairs
+  ) GROUP BY vertex
+)
+SELECT t.l AS doc_id, coalesce(s.butterflies, 0)::BIGINT AS butterflies
+FROM (SELECT DISTINCT l FROM binc) t
+LEFT JOIN bfsum s ON s.vertex = t.l"""
     return d

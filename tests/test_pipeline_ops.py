@@ -370,3 +370,137 @@ def test_temperature_mixture_weights(spark):
             temperature_mixture_weights(df, "lang", alpha=1.0).collect()}
     assert flat["en"]["boost"] == pytest.approx(1.0, abs=1e-8)
     assert flat["de"]["boost"] == pytest.approx(1.0, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# crawl frontier + politeness scheduling
+# ---------------------------------------------------------------------------
+
+def test_frontier_urls_anti_join_and_indegree(spark):
+    from jgtextrank_spark.crawl import frontier_urls
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.org/1", "https://b.org/x", 1.0),
+            ("https://a.org/2", "https://b.org/x", 1.0),
+            ("https://a.org/1", "https://b.org/x", 1.0),  # dup ref
+            ("https://a.org/2", "https://a.org/1", 1.0),  # already crawled
+            ("https://a.org/1", "https://c.org/y", 1.0),
+        ],
+        ["src", "dst", "weight"],
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.org/1",), ("https://a.org/2",)], ["url"]
+    )
+    got = {
+        r["url"]: (r["host"], r["n_refs"])
+        for r in frontier_urls(edges, crawled).collect()
+    }
+    assert got == {
+        "https://b.org/x": ("b.org", 2),
+        "https://c.org/y": ("c.org", 1),
+    }
+
+
+def test_crawl_schedule_politeness_waves(spark):
+    from jgtextrank_spark.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://h.org/a", "h.org", 5),
+            ("https://h.org/b", "h.org", 5),  # tie -> url asc
+            ("https://h.org/c", "h.org", 9),
+            ("https://h.org/d", "h.org", 1),
+            ("https://k.org/z", "k.org", 2),
+        ],
+        ["url", "host", "n_refs"],
+    )
+    got = {
+        r["url"]: (r["host_rank"], r["wave"])
+        for r in crawl_schedule(frontier, per_host_rate=2).collect()
+    }
+    assert got == {
+        "https://h.org/c": (1, 1),
+        "https://h.org/a": (2, 1),
+        "https://h.org/b": (3, 2),
+        "https://h.org/d": (4, 2),
+        "https://k.org/z": (1, 1),
+    }
+    # invariant: no wave has more than per_host_rate urls for one host
+    waves = {}
+    for url, (rk, wv) in got.items():
+        waves.setdefault((url.split("/")[2], wv), []).append(url)
+    assert all(len(v) <= 2 for v in waves.values())
+
+
+# ---------------------------------------------------------------------------
+# bipartite butterflies
+# ---------------------------------------------------------------------------
+
+def _brute_butterflies(inc):
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for l_, r in set(inc):
+        nbrs[l_].add(r)
+    lefts = sorted(nbrs)
+    out = {l_: 0 for l_ in lefts}
+    for i, a in enumerate(lefts):
+        for b in lefts[i + 1 :]:
+            c = len(nbrs[a] & nbrs[b])
+            bf = c * (c - 1) // 2
+            out[a] += bf
+            out[b] += bf
+    return out
+
+
+def test_butterfly_counts_brute_force(spark):
+    from jgtextrank_spark.algos.bipartite import butterfly_counts
+
+    inc = [
+        ("d1", "t1"), ("d1", "t2"), ("d1", "t3"),
+        ("d2", "t1"), ("d2", "t2"),            # d1-d2 share 2 -> 1 bf
+        ("d3", "t1"), ("d3", "t2"), ("d3", "t3"),  # d1-d3 share 3 -> 3 bf
+        ("d4", "t9"),                           # isolated left -> 0
+        ("d1", "t1"),                            # duplicate row collapses
+    ]
+    got = {
+        r["vertex"]: r["butterflies"]
+        for r in butterfly_counts(
+            spark.createDataFrame(inc, ["left", "right"])
+        ).collect()
+    }
+    assert got == _brute_butterflies(inc)
+    # complete bipartite K(3,3): every left pair shares 3 -> C(3,2)=3 per
+    # pair, 2 pairs per vertex -> 6 each
+    k33 = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
+    got33 = {
+        r["vertex"]: r["butterflies"]
+        for r in butterfly_counts(
+            spark.createDataFrame(k33, ["left", "right"])
+        ).collect()
+    }
+    assert got33 == {"l0": 6, "l1": 6, "l2": 6}
+
+
+def test_butterfly_max_right_degree_guard(spark):
+    from jgtextrank_spark.algos.bipartite import butterfly_counts
+
+    # hot right vertex 'hub' touches all lefts; capping at 2 removes its
+    # wedges, leaving only the t-pair butterflies
+    inc = [(f"d{i}", "hub") for i in range(4)] + [
+        ("d0", "t1"), ("d1", "t1"), ("d0", "t2"), ("d1", "t2"),
+    ]
+    df = spark.createDataFrame(inc, ["left", "right"])
+    uncapped = {
+        r["vertex"]: r["butterflies"]
+        for r in butterfly_counts(df).collect()
+    }
+    capped = {
+        r["vertex"]: r["butterflies"]
+        for r in butterfly_counts(df, max_right_degree=2).collect()
+    }
+    assert uncapped == _brute_butterflies(inc)
+    assert capped == _brute_butterflies(
+        [(l_, r) for l_, r in inc if r != "hub"]
+    ) | {"d2": 0, "d3": 0}
