@@ -1291,6 +1291,48 @@ def q_butterflies(spark, sf_dir):
     )
 
 
+WL_ITERS = 2  # Weisfeiler-Lehman refinement depth for the gate
+LM_ALPHA = 0.4  # stupid-backoff discount for the bigram LM gate
+PMI_MIN = 5  # collocation gate: minimum bigram count
+
+
+def q_wl_fingerprints(spark, sf_dir):
+    """Weisfeiler-Lehman graph hash per document co-occurrence graph —
+    md5 color refinement, replayed label-for-label by the oracle's
+    unrolled CTE chain."""
+    _prep(spark)
+    from jgtextrank_spark.algos.wlhash import wl_fingerprints
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir),
+        window=WINDOW,
+        extra_cols=["doc_id"],
+    )
+    return wl_fingerprints(pairs, iterations=WL_ITERS)
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram stupid-backoff fluency score: the LM trains on the even
+    half of the corpus and scores ALL docs, so the held-out half
+    exercises the backoff path in the gate."""
+    _prep(spark)
+    from jgtextrank_spark.functions.lm import bigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_score(
+        docs, train=docs.filter(F.col("doc_id") % 2 == 0), alpha=LM_ALPHA
+    )
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining over adjacent token pairs (n >= PMI_MIN)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.lm import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=PMI_MIN)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_textrank_keywords(spark, "/root/testdata/sf0.001")
@@ -1371,6 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "crawl_frontier": q_crawl_frontier,
         "butterflies": q_butterflies,
+        "wl_fingerprints": q_wl_fingerprints,
+        "bigram_lm": q_bigram_lm,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -3331,4 +3376,114 @@ bfsum AS (
 SELECT t.l AS doc_id, coalesce(s.butterflies, 0)::BIGINT AS butterflies
 FROM (SELECT DISTINCT l FROM binc) t
 LEFT JOIN bfsum s ON s.vertex = t.l"""
+    # ---- Weisfeiler-Lehman fingerprints (unrolled refinement) -----------
+    wl_ctes = [f"""{_TOK},
+wdp AS (
+  SELECT DISTINCT a.doc_id, a.token AS src, b.token AS dst FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+wadj AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, src AS v, dst AS u FROM wdp WHERE src <> dst
+    UNION ALL
+    SELECT doc_id, dst AS v, src AS u FROM wdp WHERE src <> dst
+  )
+),
+wl0 AS (
+  SELECT doc_id, v, md5(count(*)::VARCHAR) AS lbl
+  FROM wadj GROUP BY doc_id, v
+)"""]
+    for t in range(1, WL_ITERS + 1):
+        wl_ctes.append(f"""
+wl{t} AS (
+  SELECT a.doc_id, a.v,
+         md5(l.lbl || '|' || string_agg(n.lbl, ',' ORDER BY n.lbl)) AS lbl
+  FROM wadj a
+  JOIN wl{t - 1} l ON l.doc_id = a.doc_id AND l.v = a.v
+  JOIN wl{t - 1} n ON n.doc_id = a.doc_id AND n.v = a.u
+  GROUP BY a.doc_id, a.v, l.lbl
+)""")
+    d["wl_fingerprints"] = (
+        "WITH " + ",".join(wl_ctes)
+        + f"""
+SELECT doc_id, md5(string_agg(lbl, ',' ORDER BY lbl)) AS wl_hash
+FROM wl{WL_ITERS} GROUP BY doc_id"""
+    )
+    # ---- bigram LM fluency (train = even half, score = all) --------------
+    d["bigram_lm"] = f"""
+WITH dbg AS (
+  SELECT doc_id,
+         ts[i.pos] AS w1, ts[i.pos + 1] AS w2
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+  ), unnest(range(1, len(ts))) AS i(pos)
+  WHERE len(ts) >= 2
+),
+tbg AS (SELECT w1, w2 FROM dbg WHERE doc_id % 2 = 0),
+big AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY w1, w2),
+lft AS (SELECT w1, count(*) AS c1 FROM tbg GROUP BY w1),
+uni AS (
+  SELECT u.w, count(*) AS cu FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents WHERE doc_id % 2 = 0
+  ), unnest(ts) AS u(w) GROUP BY u.w
+),
+scal AS (
+  SELECT sum(cu)::DOUBLE AS n_tok, count(*)::DOUBLE AS vocab FROM uni
+),
+scored AS (
+  SELECT g.doc_id,
+         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12 / l.c1)
+              ELSE ln({LM_ALPHA} * ((coalesce(u.cu, 0) + 1)
+                       / (s.n_tok + s.vocab)))
+         END AS logp
+  FROM dbg g
+  LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2
+  LEFT JOIN lft l ON l.w1 = g.w1
+  LEFT JOIN uni u ON u.w = g.w2
+  CROSS JOIN scal s
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.avg_logp, 0.0) AS avg_logp
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(logp), 6) AS avg_logp
+  FROM scored GROUP BY doc_id
+) a USING (doc_id)"""
+    # ---- PMI collocations -------------------------------------------------
+    d["pmi_collocations"] = f"""
+WITH dbg AS (
+  SELECT doc_id, ts[i.pos] AS w1, ts[i.pos + 1] AS w2
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+  ), unnest(range(1, len(ts))) AS i(pos)
+  WHERE len(ts) >= 2
+),
+big AS (SELECT w1, w2, count(*)::BIGINT AS n FROM dbg GROUP BY w1, w2),
+uni AS (
+  SELECT u.w, count(*) AS cu FROM (
+    SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+    FROM documents
+  ), unnest(ts) AS u(w) GROUP BY u.w
+),
+scal AS (
+  SELECT (SELECT count(*)::DOUBLE FROM dbg) AS b_tot,
+         (SELECT sum(cu)::DOUBLE FROM uni) AS n_tok
+)
+SELECT b.w1, b.w2, b.n,
+       round(ln((b.n / s.b_tot)
+                / ((u1.cu / s.n_tok) * (u2.cu / s.n_tok))), 6) AS pmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN scal s
+WHERE b.n >= {PMI_MIN}"""
     return d

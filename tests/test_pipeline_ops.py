@@ -504,3 +504,152 @@ def test_butterfly_max_right_degree_guard(spark):
     assert capped == _brute_butterflies(
         [(l_, r) for l_, r in inc if r != "hub"]
     ) | {"d2": 0, "d3": 0}
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman fingerprints
+# ---------------------------------------------------------------------------
+
+def _brute_wl(edges, iterations=2):
+    """Pure-python mirror of the md5 WL scheme (per group)."""
+    import hashlib
+    from collections import defaultdict
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    adj = defaultdict(lambda: defaultdict(set))
+    for g, a, b in edges:
+        if a != b:
+            adj[g][a].add(b)
+            adj[g][b].add(a)
+    out = {}
+    for g, nb in adj.items():
+        lbl = {v: h(str(len(us))) for v, us in nb.items()}
+        for _ in range(iterations):
+            lbl = {
+                v: h(lbl[v] + "|" + ",".join(sorted(lbl[u] for u in us)))
+                for v, us in nb.items()
+            }
+        out[g] = h(",".join(sorted(lbl.values())))
+    return out
+
+
+def test_wl_fingerprints_replay_and_isomorphism(spark):
+    from jgtextrank_spark.algos.wlhash import wl_fingerprints
+
+    edges = [
+        # g1 and g2: isomorphic triangles with disjoint token names
+        ("g1", "a", "b"), ("g1", "b", "c"), ("g1", "c", "a"),
+        ("g2", "x", "y"), ("g2", "y", "z"), ("g2", "z", "x"),
+        # g3: path of 3 (not isomorphic to a triangle)
+        ("g3", "p", "q"), ("g3", "q", "r"),
+        # g4: triangle with a self-loop (dropped) and a dup edge
+        ("g4", "m", "n"), ("g4", "n", "o"), ("g4", "o", "m"),
+        ("g4", "m", "m"), ("g4", "n", "m"),
+    ]
+    df = spark.createDataFrame(edges, ["doc_id", "src", "dst"])
+    got = {
+        r["doc_id"]: r["wl_hash"] for r in wl_fingerprints(df).collect()
+    }
+    assert got == _brute_wl(edges)
+    assert got["g1"] == got["g2"] == got["g4"]  # isomorphic -> equal
+    assert got["g3"] != got["g1"]  # WL separates path from triangle
+
+
+def test_wl_separates_degree_sequences(spark):
+    from jgtextrank_spark.algos.wlhash import wl_fingerprints
+
+    # star K(1,3) vs path of 4: same size, different refinement
+    edges = [
+        ("s", "c", "a"), ("s", "c", "b"), ("s", "c", "d"),
+        ("p", "1", "2"), ("p", "2", "3"), ("p", "3", "4"),
+    ]
+    got = {
+        r["doc_id"]: r["wl_hash"]
+        for r in wl_fingerprints(
+            spark.createDataFrame(edges, ["doc_id", "src", "dst"])
+        ).collect()
+    }
+    assert got["s"] != got["p"]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM + PMI
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_score_brute_force(spark):
+    from jgtextrank_spark.functions.lm import bigram_lm_score
+
+    train_rows = [(1, "a b a b c"), (2, "a b c d")]
+    score_rows = train_rows + [(3, "a b x"), (4, "solo")]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(score_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in bigram_lm_score(docs, train=train, alpha=0.4).collect()
+    }
+    # brute force
+    from collections import Counter
+
+    tb = Counter()
+    c1 = Counter()
+    cu = Counter()
+    for _, t in train_rows:
+        ws = t.split()
+        cu.update(ws)
+        for x, y in zip(ws, ws[1:]):
+            tb[(x, y)] += 1
+            c1[x] += 1
+    n_tok, vocab = sum(cu.values()), len(cu)
+
+    def lp(x, y):
+        if (x, y) in tb:
+            return math.log(tb[(x, y)] / c1[x])
+        return math.log(0.4 * (cu.get(y, 0) + 1) / (n_tok + vocab))
+
+    for did, t in score_rows:
+        ws = t.split()
+        bgs = list(zip(ws, ws[1:]))
+        want_n = len(bgs)
+        want_avg = (
+            round(sum(lp(x, y) for x, y in bgs) / want_n, 6) if bgs else 0.0
+        )
+        assert got[did][0] == want_n, did
+        assert got[did][1] == pytest.approx(want_avg, abs=2e-6), did
+    # held-out doc with unseen bigram scores lower than in-train docs
+    assert got[3][1] < got[1][1]
+
+
+def test_pmi_collocations_brute_force(spark):
+    from jgtextrank_spark.functions.lm import pmi_collocations
+
+    rows = [(1, "new york new york city"), (2, "new york is big"),
+            (3, "the city is big the city")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["pmi"])
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    from collections import Counter
+
+    bg = Counter()
+    cu = Counter()
+    for _, t in rows:
+        ws = t.split()
+        cu.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    b_tot, n_tok = sum(bg.values()), sum(cu.values())
+    want = {
+        (x, y): (n, round(
+            math.log((n / b_tot) / ((cu[x] / n_tok) * (cu[y] / n_tok))), 6
+        ))
+        for (x, y), n in bg.items() if n >= 2
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    # "new york" is a collocation: every "new" is followed by "york",
+    # so its PMI is positive (above-chance association)
+    assert got[("new", "york")][1] > 0
