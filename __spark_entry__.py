@@ -1333,6 +1333,22 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(_docs(spark, sf_dir), min_count=PMI_MIN)
 
 
+def q_closeness_per_doc(spark, sf_dir):
+    """Exact closeness + harmonic centrality inside every per-doc token
+    graph at once (group-local BFS via applyInPandas — the per-group
+    quadrant between the capped driver solvers and HyperBall)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.groupdist import closeness_per_group
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir),
+        window=WINDOW,
+        extra_cols=["doc_id"],
+    )
+    return closeness_per_group(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_textrank_keywords(spark, "/root/testdata/sf0.001")
@@ -1416,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_fingerprints": q_wl_fingerprints,
         "bigram_lm": q_bigram_lm,
         "pmi_collocations": q_pmi_collocations,
+        "closeness_per_doc": q_closeness_per_doc,
     }
 
 
@@ -3486,4 +3503,48 @@ JOIN uni u1 ON u1.w = b.w1
 JOIN uni u2 ON u2.w = b.w2
 CROSS JOIN scal s
 WHERE b.n >= {PMI_MIN}"""
+    # ---- per-doc exact closeness/harmonic (bounded-depth BFS closure) ----
+    # depth bound 40 >> any per-doc token-graph diameter at gate scale
+    # (docs are <= ~40 tokens); min-dist over the bounded path closure is
+    # exact BFS distance
+    d["closeness_per_doc"] = f"""
+WITH RECURSIVE {_TOK},
+cdp AS (
+  SELECT DISTINCT a.doc_id, a.token AS src, b.token AS dst FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+cadj2 AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, src AS v, dst AS u FROM cdp WHERE src <> dst
+    UNION ALL
+    SELECT doc_id, dst AS v, src AS u FROM cdp WHERE src <> dst
+  )
+),
+cverts AS (SELECT DISTINCT doc_id, v FROM cadj2),
+walkc(doc_id, s, v, dd) AS (
+  SELECT doc_id, v, v, 0 FROM cverts
+  UNION
+  SELECT w.doc_id, w.s, a.u, w.dd + 1
+  FROM walkc w JOIN cadj2 a ON a.doc_id = w.doc_id AND a.v = w.v
+  WHERE w.dd < 40
+),
+dists AS (
+  SELECT doc_id, s, v, min(dd) AS dist
+  FROM walkc GROUP BY doc_id, s, v
+),
+per_s AS (
+  SELECT doc_id, s,
+         count(*)::DOUBLE AS r,            -- component size incl. s
+         sum(dist)::DOUBLE AS sd,
+         sum(CASE WHEN dist > 0 THEN 1.0 / dist ELSE 0.0 END) AS har
+  FROM dists GROUP BY doc_id, s
+),
+nsize AS (SELECT doc_id, count(*)::DOUBLE AS n FROM cverts GROUP BY doc_id)
+SELECT p.doc_id, p.s AS vertex,
+       round(CASE WHEN p.r > 1 AND z.n > 1
+                  THEN ((p.r - 1) / p.sd) * ((p.r - 1) / (z.n - 1))
+                  ELSE 0.0 END, 6) AS closeness,
+       round(p.har, 6) AS harmonic
+FROM per_s p JOIN nsize z USING (doc_id)"""
     return d

@@ -653,3 +653,37 @@ def test_pmi_collocations_brute_force(spark):
     # "new york" is a collocation: every "new" is followed by "york",
     # so its PMI is positive (above-chance association)
     assert got[("new", "york")][1] > 0
+
+
+# ---------------------------------------------------------------------------
+# per-group exact distance centralities
+# ---------------------------------------------------------------------------
+
+def test_closeness_per_group_nx_parity(spark):
+    import networkx as nx
+
+    from jgtextrank_spark.algos.groupdist import closeness_per_group
+
+    graphs = {
+        "g1": [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "g2": [("x", "y"), ("z", "w")],  # two components
+        "g3": [("p", "q")],
+    }
+    rows = [(g, a, b) for g, es in graphs.items() for a, b in es]
+    got = {
+        (r["doc_id"], r["vertex"]): (r["closeness"], r["harmonic"])
+        for r in closeness_per_group(
+            spark.createDataFrame(rows, ["doc_id", "src", "dst"])
+        ).collect()
+    }
+    for g, es in graphs.items():
+        G = nx.Graph(es)
+        clo = nx.closeness_centrality(G, wf_improved=True)
+        har = nx.harmonic_centrality(G)
+        for v in G.nodes:
+            assert got[(g, v)][0] == pytest.approx(
+                round(clo[v], 6), abs=1e-9
+            ), (g, v)
+            assert got[(g, v)][1] == pytest.approx(
+                round(har[v], 6), abs=1e-9
+            ), (g, v)
