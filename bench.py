@@ -332,6 +332,64 @@ def bench_warm_start(
     }
 
 
+def bench_cc_incremental(
+    spark: SparkSession, n: int = 200_000, n_delta: int = 100
+) -> dict:
+    """Incremental connected components on an insert-only delta: converge
+    hash-min on a 200k-vertex chain (the adversarial-diameter case), add
+    ``n_delta`` deterministic chord edges, then re-run cold vs warm
+    (prior labels as state + virtual star edges). The warm run should
+    close in O(1)-ish rounds regardless of the 200k diameter."""
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.algos.components import (
+        connected_components_result,
+    )
+
+    # TWO disjoint chains (the middle link is absent), so the chord
+    # deltas genuinely MERGE components and the warm run has to
+    # propagate a new minimum, not just re-verify old labels
+    base = spark.range(n - 1).filter(
+        F.col("id") != n // 2
+    ).select(
+        F.format_string("v%07d", F.col("id")).alias("src"),
+        F.format_string("v%07d", F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    res_a = connected_components_result(base, checkpoint_every=0)
+    prior = res_a.state.select(
+        F.col("vertex").alias("id"), "label"
+    ).localCheckpoint(eager=True)
+    chords = spark.range(n_delta).select(
+        F.format_string(
+            "v%07d", F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n))
+        ).alias("src"),
+        F.format_string(
+            "v%07d", F.pmod(F.xxhash64(F.col("id") * 2 + 2), F.lit(n))
+        ).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    edges_b = base.unionByName(chords).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    cold = connected_components_result(edges_b, checkpoint_every=0)
+    cold_wall = time.time() - t0
+    t0 = time.time()
+    warm = connected_components_result(
+        edges_b, checkpoint_every=0, init_labels=prior
+    )
+    warm_wall = time.time() - t0
+    return {
+        "chain_vertices": n,
+        "delta_edges": n_delta,
+        "cold_rounds": cold.iterations,
+        "warm_rounds": warm.iterations,
+        "cold_wall_sec": round(cold_wall, 3),
+        "warm_wall_sec": round(warm_wall, 3),
+        "converged": bool(cold.converged and warm.converged),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -464,6 +522,10 @@ def main() -> None:
     warm_detail = bench_warm_start(spark)
     queries["pagerank_warm_start_2m"] = warm_detail["warm_wall_sec"]
 
+    # incremental CC: insert-only delta on the adversarial chain
+    cc_inc = bench_cc_incremental(spark)
+    queries["cc_incremental_chain_200k"] = cc_inc["warm_wall_sec"]
+
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
         "value": round(pr["edges_per_sec_per_superstep"], 1),
@@ -487,6 +549,7 @@ def main() -> None:
             "hyperball": hb,
             "scc_distributed": scc_detail,
             "pagerank_warm_start": warm_detail,
+            "cc_incremental": cc_inc,
         },
     }
     print(json.dumps(out))

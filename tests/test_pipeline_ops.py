@@ -687,3 +687,70 @@ def test_closeness_per_group_nx_parity(spark):
             assert got[(g, v)][1] == pytest.approx(
                 round(har[v], 6), abs=1e-9
             ), (g, v)
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components (insert-only warm labels)
+# ---------------------------------------------------------------------------
+
+def test_cc_warm_labels_same_output_fewer_supersteps(spark):
+    from jgtextrank_spark.algos.components import (
+        connected_components,
+        connected_components_result,
+    )
+
+    # snapshot A: two long chains (slow for cold hash-min, fast warm)
+    chain1 = [(f"a{i:03d}", f"a{i + 1:03d}") for i in range(30)]
+    chain2 = [(f"b{i:03d}", f"b{i + 1:03d}") for i in range(30)]
+    mk = lambda rows: spark.createDataFrame(
+        [(s, d, 1.0) for s, d in rows], ["src", "dst", "weight"]
+    )
+    res_a = connected_components_result(mk(chain1 + chain2))
+    prior = res_a.state.select(
+        F.col("vertex").alias("id"), "label"
+    ).localCheckpoint(eager=True)
+
+    # snapshot B: new edge MERGES the chains + a brand-new vertex pair
+    delta = [("a015", "b015"), ("c000", "c001")]
+    edges_b = mk(chain1 + chain2 + delta)
+    cold = connected_components_result(edges_b)
+    warm = connected_components_result(edges_b, init_labels=prior)
+    c = {r["vertex"]: r["label"] for r in cold.state.collect()}
+    w = {r["vertex"]: r["label"] for r in warm.state.collect()}
+    assert c == w
+    assert warm.converged and cold.converged
+    assert warm.iterations < cold.iterations
+    # merged component labeled by the global min, new pair by its own min
+    assert w["b030"] == "a000" and w["c001"] == "c000"
+
+
+def test_cc_warm_labels_stale_target_dropped(spark):
+    from jgtextrank_spark.algos.components import (
+        connected_components_result,
+    )
+
+    edges = spark.createDataFrame(
+        [("x", "y", 1.0), ("y", "z", 1.0)], ["src", "dst", "weight"]
+    )
+    # prior labels point at a vertex that no longer exists ("deleted")
+    prior = spark.createDataFrame(
+        [("x", "aaa_gone"), ("y", "aaa_gone")], ["id", "label"]
+    )
+    res = connected_components_result(edges, init_labels=prior)
+    got = {r["vertex"]: r["label"] for r in res.state.collect()}
+    assert got == {"x": "x", "y": "x", "z": "x"}  # never a phantom label
+
+
+def test_cc_warm_labels_guards(spark):
+    from jgtextrank_spark.algos.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("x", "y", 1.0)], ["src", "dst", "weight"]
+    )
+    prior = spark.createDataFrame([("x", "x")], ["id", "label"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        connected_components(edges, algorithm="star", init_labels=prior)
+    with _pt.raises(ValueError):
+        connected_components(edges, encode_ids=True, init_labels=prior)
