@@ -33,6 +33,9 @@ HITS_ITERS = 10  # fixed supersteps for the SQL-comparable HITS query
 KTRUSS_K = 22  # k-truss gate parameter (peels the sf0.01 token graph)
 WALK_STEPS = 4  # random-walk gate parameters (md5-replayable in SQL)
 WALK_SEED = "w42"
+N2V_SEED = "n2v"  # node2vec gate: p/q powers of two keep the biased
+N2V_P = 0.5  # cumsum dyadic-exact, so the DuckDB replay is bit-equal
+N2V_Q = 4.0
 ANN_K = 5
 ANN_QUERIES = 20
 JACCARD_T = 0.2
@@ -240,6 +243,26 @@ def q_random_walks(spark, sf_dir):
         walks_per_vertex=1,
         walk_length=WALK_STEPS,
         seed=WALK_SEED,
+    )
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order node2vec walks (p=0.5 return-biased, q=4 BFS-ish)
+    on the symmetrized token graph. The oracle replays every biased
+    step: the same md5 uniforms, and per-walk window cumsums over the
+    candidate set with the CASE bias — exact because weights are
+    integral and p/q are powers of two (dyadic arithmetic)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.walks import node2vec_walks
+    from jgtextrank_spark.graph import symmetrize
+
+    return node2vec_walks(
+        symmetrize(_doc_edges(spark, sf_dir)),
+        walks_per_vertex=1,
+        walk_length=WALK_STEPS,
+        p=N2V_P,
+        q=N2V_Q,
+        seed=N2V_SEED,
     )
 
 
@@ -1372,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_tokens": q_scc_tokens,
         "ktruss": q_ktruss,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
@@ -1817,6 +1841,85 @@ s{t} AS (
          / 281474976710656.0) >= a.lo
     AND (('0x' || substring(md5(p.walk_id || ':{t}:{seed}'), 1, 12))::BIGINT
          / 281474976710656.0) < a.hi
+)"""
+        )
+    sels = ["SELECT walk_id, 0 AS step, cur AS vertex FROM s0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(1, steps + 1)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _n2v_sql(steps: int, seed: str, p: float, q: float) -> str:
+    """Replay of walks.node2vec_walks: step 1 is first-order (identical
+    to _walks_sql), steps >= 2 rebuild the biased candidate set per walk
+    (return w/p, distance-1 w, else w/q via a LEFT JOIN membership
+    probe) and sample from a per-walk window cumsum in dst order.
+    Integral weights + power-of-two p/q keep every number dyadic-exact,
+    so the window sums match Spark's bit-for-bit regardless of either
+    engine's summation tree."""
+    uniform = (
+        "(('0x' || substring(md5(walk_id || ':{t}:" + seed + "'), 1, 12))"
+        "::BIGINT / 281474976710656.0)"
+    )
+    ctes = [
+        _EDGES,
+        """
+sym AS (
+  SELECT src, dst, sum(weight) AS w FROM (
+    SELECT src, dst, weight FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+  ) GROUP BY src, dst
+),
+adj AS (
+  SELECT src, dst,
+         (sum(w) OVER (PARTITION BY src ORDER BY dst) - w)
+           / sum(w) OVER (PARTITION BY src) AS lo,
+         sum(w) OVER (PARTITION BY src ORDER BY dst)
+           / sum(w) OVER (PARTITION BY src) AS hi
+  FROM sym
+),
+wverts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+s0 AS (SELECT v || '#0' AS walk_id, v AS cur FROM wverts),
+s1 AS (
+  SELECT p0.walk_id, p0.cur AS prev, a.dst AS cur
+  FROM s0 p0 JOIN adj a ON a.src = p0.cur
+  WHERE (('0x' || substring(md5(p0.walk_id || ':1:"""
+        + seed
+        + """'), 1, 12))::BIGINT / 281474976710656.0) >= a.lo
+    AND (('0x' || substring(md5(p0.walk_id || ':1:"""
+        + seed
+        + """'), 1, 12))::BIGINT / 281474976710656.0) < a.hi
+)""",
+    ]
+    for t in range(2, steps + 1):
+        u = uniform.format(t=t)
+        ctes.append(
+            f"""
+c{t} AS (
+  SELECT st.walk_id, st.prev, st.cur, a.dst, a.w,
+         CASE WHEN a.dst = st.prev THEN a.w / {p!r}
+              WHEN nb.src IS NOT NULL THEN a.w
+              ELSE a.w / {q!r} END AS b
+  FROM s{t - 1} st
+  JOIN sym a ON a.src = st.cur
+  LEFT JOIN sym nb ON nb.src = st.prev AND nb.dst = a.dst
+),
+s{t} AS (
+  SELECT walk_id, cur AS prev, dst AS cur FROM (
+    SELECT walk_id, cur, dst,
+           (sum(b) OVER (PARTITION BY walk_id ORDER BY dst) - b)
+             / sum(b) OVER (PARTITION BY walk_id) AS lo,
+           sum(b) OVER (PARTITION BY walk_id ORDER BY dst)
+             / sum(b) OVER (PARTITION BY walk_id) AS hi
+    FROM c{t}
+  )
+  WHERE {u} >= lo AND {u} < hi
 )"""
         )
     sels = ["SELECT walk_id, 0 AS step, cur AS vertex FROM s0"] + [
@@ -2752,6 +2855,7 @@ LEFT JOIN hub h ON h.vertex = v.vertex
 LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
     d["random_walks"] = _walks_sql(WALK_STEPS, WALK_SEED)
+    d["node2vec_walks"] = _n2v_sql(WALK_STEPS, N2V_SEED, N2V_P, N2V_Q)
     d["degree_distribution"] = f"""
 WITH {_EDGES},
 und AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),

@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["random_walks", "skipgram_pairs", "negative_sampling_table"]
+__all__ = [
+    "random_walks",
+    "node2vec_walks",
+    "skipgram_pairs",
+    "negative_sampling_table",
+]
 
 _SCALE = float(2**48)
 
@@ -145,6 +150,192 @@ def random_walks(
     for p in parts[1:]:
         out = out.unionByName(p)
     adj.unpersist()
+    return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 10,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: str = "w42",
+    weight_col: str | None = "weight",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec) biased walks: ``(walk_id, step, vertex)``.
+
+    Grover & Leskovec's search bias: stepping from ``cur`` with previous
+    vertex ``prev``, candidate ``dst`` gets weight ``w/p`` if
+    ``dst == prev`` (return), ``w`` if ``dst`` is a neighbour of ``prev``
+    (BFS-ish), else ``w/q`` (DFS-ish). Step 1 has no previous vertex and
+    is first-order — with ``p == q == 1`` every step's ranges collapse to
+    the first-order ones, so the output is bit-identical to
+    :func:`random_walks` (tested).
+
+    Spark-first: unlike the first-order walk, ranges can't be
+    precomputed per source (the bias depends on ``prev``), so each step
+    materializes the candidate set — state joined to the adjacency on
+    ``cur`` (fan-out = out-degree) — then marks distance-1 candidates
+    with ONE two-key equi-join against the edge set ``(prev, dst)``, and
+    samples via a per-walk window cumsum over candidates in ``dst``
+    order. Per-walk window groups are out-degree-sized: a hub visit
+    makes a large (spillable-sort) group, but the groups are keyed by
+    ``walk_id``, so hub work spreads across partitions instead of
+    hot-keying one reducer; the alias-table alternative costs
+    O(E * avg_degree) state and is strictly worse at web scale.
+
+    Determinism/replay: uniforms are ``md5(walk_id:step:seed)`` 48-bit,
+    like :func:`random_walks`. Bias arithmetic is replayed bit-for-bit
+    by the DuckDB oracle when weights are integral and ``p``/``q`` are
+    powers of two (then ``w/p`` is exact and the ordered window sums are
+    identical IEEE sequences in both engines)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None and weight_col in edges.columns
+        else F.lit(1.0)
+    )
+    adjw = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(w).alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    # first-order ranges for step 1 (no prev yet) — same build as
+    # random_walks, derived from the cached adjw
+    wcum = Window.partitionBy("src").orderBy("dst")
+    wtot = Window.partitionBy("src")
+    adj1 = adjw.select(
+        "src",
+        "dst",
+        (
+            (F.sum("w").over(wcum) - F.col("w")) / F.sum("w").over(wtot)
+        ).alias("lo"),
+        (F.sum("w").over(wcum) / F.sum("w").over(wtot)).alias("hi"),
+    )
+    nbr = adjw.select(
+        F.col("src").alias("nb_a"), F.col("dst").alias("nb_b")
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    start = verts.select(
+        "vertex",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("rep"),
+    ).select(
+        F.concat_ws("#", "vertex", F.col("rep").cast("string")).alias(
+            "walk_id"
+        ),
+        F.col("vertex").alias("cur"),
+    ).localCheckpoint(eager=True)
+
+    def _u(t: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("walk_id"), F.lit(str(t)), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long").cast("double")
+            / F.lit(_SCALE)
+        )
+
+    parts = [
+        start.select(
+            "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        )
+    ]
+    if walk_length >= 1:
+        state = (
+            start.withColumn("u", _u(1))
+            .join(adj1, F.col("cur") == F.col("src"))
+            .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("dst").alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        parts.append(
+            state.select(
+                "walk_id", F.lit(1).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+        wwin = Window.partitionBy("walk_id").orderBy("dst")
+        wall = Window.partitionBy("walk_id")
+        for t in range(2, walk_length + 1):
+            if state.isEmpty():
+                break
+            cand = state.join(
+                adjw, state["cur"] == adjw["src"]
+            ).join(
+                nbr,
+                (F.col("prev") == F.col("nb_a"))
+                & (F.col("dst") == F.col("nb_b")),
+                "left",
+            ).select(
+                "walk_id",
+                "prev",
+                "cur",
+                "dst",
+                F.when(F.col("dst") == F.col("prev"), F.col("w") / F.lit(p))
+                .when(F.col("nb_a").isNotNull(), F.col("w"))
+                .otherwise(F.col("w") / F.lit(q))
+                .alias("b"),
+            )
+            state = (
+                cand.select(
+                    "walk_id",
+                    "cur",
+                    "dst",
+                    (
+                        (F.sum("b").over(wwin) - F.col("b"))
+                        / F.sum("b").over(wall)
+                    ).alias("lo"),
+                    (F.sum("b").over(wwin) / F.sum("b").over(wall)).alias(
+                        "hi"
+                    ),
+                )
+                .withColumn("u", _u(t))
+                .filter(
+                    (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
+                )
+                .select(
+                    "walk_id",
+                    F.col("cur").alias("prev"),
+                    F.col("dst").alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            parts.append(
+                state.select(
+                    "walk_id",
+                    F.lit(t).alias("step"),
+                    F.col("cur").alias("vertex"),
+                )
+            )
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionByName(prt)
+    adjw.unpersist()
     return out
 
 

@@ -1127,6 +1127,132 @@ def test_random_walks_exact_python_mirror(spark):
     assert sum(first.values()) == R
 
 
+def _n2v_mirror(edges, L, R, SEED, p, q):
+    """Pure-python replay of node2vec_walks (hashlib + biased cumsum)."""
+    import hashlib
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    for s in adj:
+        adj[s].sort()
+    nbr = {(s, d) for s, d, _ in edges}
+    verts = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    want = {}
+    for v in verts:
+        for rep in range(R):
+            wid = f"{v}#{rep}"
+            seq = {0: v}
+            prev, cur = None, v
+            for t in range(1, L + 1):
+                outs = adj.get(cur)
+                if not outs:
+                    break
+                h = hashlib.md5(f"{wid}:{t}:{SEED}".encode()).hexdigest()
+                u = int(h[:12], 16) / float(2**48)
+                if t == 1:
+                    biased = [(d, w) for d, w in outs]
+                else:
+                    biased = [
+                        (
+                            d,
+                            w / p
+                            if d == prev
+                            else (w if (prev, d) in nbr else w / q),
+                        )
+                        for d, w in outs
+                    ]
+                tot = sum(b for _, b in biased)
+                cum, nxt = 0.0, None
+                for d, b in biased:
+                    cum += b
+                    lo, hi = (cum - b) / tot, cum / tot
+                    if lo <= u < hi:
+                        nxt = d
+                        break
+                assert nxt is not None
+                seq[t] = nxt
+                prev, cur = cur, nxt
+            want[wid] = seq
+    return want
+
+
+def test_node2vec_exact_python_mirror(spark):
+    """node2vec biased walks replay exactly in pure python when weights
+    are integral and p/q are powers of two (exact IEEE division)."""
+    from jgtextrank_spark.algos.walks import node2vec_walks
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("b", "a", 3.0), ("c", "a", 1.0), ("c", "d", 2.0),
+        ("d", "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        edges, "src string, dst string, weight double"
+    )
+    L, R, SEED, P, Q = 6, 3, "n2v", 0.5, 4.0
+    got = {}
+    for r in node2vec_walks(
+        df, walks_per_vertex=R, walk_length=L, p=P, q=Q, seed=SEED
+    ).collect():
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert got == _n2v_mirror(edges, L, R, SEED, P, Q)
+    # every consecutive pair is a real directed edge
+    e = {(s, d) for s, d, _ in edges}
+    for wid, seq in got.items():
+        for t in range(1, max(seq)):
+            if t + 1 in seq:
+                assert (seq[t], seq[t + 1]) in e
+
+
+def test_node2vec_p1q1_equals_first_order(spark):
+    """With p=q=1 the bias collapses and node2vec must reproduce
+    random_walks bit-for-bit (same md5 stream, same ranges)."""
+    from jgtextrank_spark.algos.walks import node2vec_walks, random_walks
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("b", "a", 3.0), ("c", "d", 1.0),
+    ]
+    df = spark.createDataFrame(
+        edges, "src string, dst string, weight double"
+    )
+    fo = sorted(
+        map(tuple, random_walks(
+            df, walks_per_vertex=2, walk_length=5, seed="s"
+        ).collect())
+    )
+    n2 = sorted(
+        map(tuple, node2vec_walks(
+            df, walks_per_vertex=2, walk_length=5, p=1.0, q=1.0, seed="s"
+        ).collect())
+    )
+    assert fo == n2
+
+
+def test_node2vec_return_bias(spark):
+    """A tiny p makes the return edge dominate: on a symmetric triangle
+    every step >= 2 goes back to prev (checked against the mirror too)."""
+    from jgtextrank_spark.algos.walks import node2vec_walks
+
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+           ("a", "c"), ("c", "a")]
+    edges = [(s, d, 1.0) for s, d in tri]
+    df = spark.createDataFrame(
+        edges, "src string, dst string, weight double"
+    )
+    P = 2.0 ** -30
+    got = {}
+    for r in node2vec_walks(
+        df, walks_per_vertex=1, walk_length=5, p=P, q=1.0, seed="rb"
+    ).collect():
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert got == _n2v_mirror(edges, 5, 1, "rb", P, 1.0)
+    for seq in got.values():
+        for t in range(2, 6):
+            assert seq[t] == seq[t - 2]  # always return
+
+
 # ------------------------------------------------- graph stats (round 4b)
 def test_reciprocity_vs_nx(spark):
     from jgtextrank_spark.algos.graphstats import reciprocity
