@@ -266,6 +266,19 @@ def q_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_msf_forest(spark, sf_dir):
+    """Borůvka minimum spanning forest of the token co-occurrence graph
+    with md5-perturbed (hence distinct) weights ⇒ the MSF is unique.
+    Data-dependent round count ⇒ the oracle is a committed golden,
+    generated AND verified exactly vs networkx.minimum_spanning_edges
+    (on an independent hashlib perturbation) by scripts/make_goldens.py.
+    """
+    _prep(spark)
+    from jgtextrank_spark.algos.mst import boruvka_msf, msf_perturbed_weights
+
+    return boruvka_msf(msf_perturbed_weights(_doc_edges(spark, sf_dir)))
+
+
 def q_ktruss(spark, sf_dir):
     """k-truss (k=22) of the undirected token graph — iterative
     support-peel to fixpoint. Oracle unrolls 10 peel rounds in SQL:
@@ -1396,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
+        "msf_forest": q_msf_forest,
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
@@ -2370,6 +2384,10 @@ LEFT JOIN tc ON tc.vertex = av.vertex""",
         "textrank_keywords": (
             "SELECT term, score FROM "
             "read_parquet('/root/repo/goldens/textrank_sf0.01.parquet')"
+        ),
+        "msf_forest": (
+            "SELECT u, v, weight FROM "
+            "read_parquet('/root/repo/goldens/msf_sf0.01.parquet')"
         ),
         "components_per_doc": f"""
 WITH RECURSIVE {_TOK},

@@ -141,6 +141,38 @@ def make_textrank(spark, entrymod, sf_dir: str, out: Path):
     _write(got_df, out)
 
 
+def make_msf(spark, entrymod, sf_dir: str, out: Path):
+    """Borůvka MSF golden on the md5-perturbed token graph. Perturbed
+    weights are distinct, so the MSF is UNIQUE and the verification is
+    exact edge-set equality vs networkx.minimum_spanning_edges run on an
+    independently computed (pure-python hashlib) perturbation."""
+    import hashlib
+
+    import networkx as nx
+
+    got_df = entrymod.q_msf_forest(spark, sf_dir).persist()
+    got = {(r["u"], r["v"], r["weight"]) for r in got_df.collect()}
+    G = nx.Graph()
+    for r in entrymod._doc_edges(spark, sf_dir).collect():
+        s, d = r["src"], r["dst"]
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        h = hashlib.md5(f"{u}:{v}".encode()).hexdigest()
+        G.add_edge(u, v, weight=r["weight"] + int(h[:12], 16) / float(2**48))
+    want = {
+        (min(a, b), max(a, b), G[a][b]["weight"])
+        for a, b in nx.minimum_spanning_edges(G, data=False)
+    }
+    assert got == want, (
+        f"msf mismatch vs networkx: only_spark={sorted(got - want)[:5]} "
+        f"only_nx={sorted(want - got)[:5]} (|got|={len(got)}, "
+        f"|want|={len(want)})"
+    )
+    print(f"msf verified vs nx.minimum_spanning_edges ({len(got)} edges)")
+    _write(got_df, out)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf_tag = Path(sf_dir).name
@@ -153,6 +185,7 @@ def main():
     gold_dir.mkdir(exist_ok=True)
     make_coreness(spark, entrymod, sf_dir, gold_dir / f"coreness_{sf_tag}.parquet")
     make_textrank(spark, entrymod, sf_dir, gold_dir / f"textrank_{sf_tag}.parquet")
+    make_msf(spark, entrymod, sf_dir, gold_dir / f"msf_{sf_tag}.parquet")
 
 
 if __name__ == "__main__":

@@ -1253,6 +1253,96 @@ def test_node2vec_return_bias(spark):
             assert seq[t] == seq[t - 2]  # always return
 
 
+# ------------------------------------------------- Borůvka MSF
+def test_boruvka_msf_distinct_weights_vs_nx(spark):
+    """Distinct weights ⇒ the MSF is unique ⇒ exact edge-set parity
+    with networkx, including a disconnected graph (a forest)."""
+    import random
+
+    import networkx as nx
+
+    from jgtextrank_spark.algos.mst import boruvka_msf
+
+    rnd = random.Random(7)
+    n, m = 40, 120
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    # two islands: vertices 0..19 and 20..39 never connect
+    pairs = {(a, b) for a, b in pairs if (a < 20) == (b < 20)}
+    wts = rnd.sample(range(1, 100 * m), len(pairs))
+    rows = [
+        (f"v{a:02d}", f"v{b:02d}", float(wt))
+        for (a, b), wt in zip(sorted(pairs), wts)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    got = {(r["u"], r["v"], r["weight"]) for r in boruvka_msf(df).collect()}
+    G = nx.Graph()
+    for s, d, wt in rows:
+        G.add_edge(s, d, weight=wt)
+    want = {
+        (min(a, b), max(a, b), G[a][b]["weight"])
+        for a, b in nx.minimum_spanning_edges(G, data=False)
+    }
+    assert got == want
+
+
+def test_boruvka_msf_ties_chain_and_loops(spark):
+    """All-equal weights: the output is still a spanning forest of
+    minimum total weight (= nx total), chosen deterministically by the
+    (w, u, v) order. Also: adversarial chain (deep contraction trees),
+    self-loops and parallel edges ignored/collapsed."""
+    import networkx as nx
+
+    from jgtextrank_spark.algos.mst import boruvka_msf
+
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}", 1.0) for i in range(60)]
+    extra = [
+        ("c000", "c000", 0.1),            # self-loop: ignored
+        ("c005", "c004", 0.5),            # parallel (reversed): collapses
+        ("c010", "c020", 1.0),            # a tie cycle edge
+    ]
+    rows = chain + extra
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    got = [(r["u"], r["v"], r["weight"]) for r in boruvka_msf(df).collect()]
+    G = nx.Graph()
+    for s, d, wt in rows:
+        if s != d:
+            wcur = G[s][d]["weight"] if G.has_edge(s, d) else float("inf")
+            G.add_edge(s, d, weight=min(wt, wcur))
+    T = nx.minimum_spanning_tree(G)
+    assert len(got) == G.number_of_nodes() - nx.number_connected_components(G)
+    assert sum(wt for _, _, wt in got) == pytest.approx(
+        T.size(weight="weight")
+    )
+    # deterministic under repetition
+    again = [(r["u"], r["v"], r["weight"]) for r in boruvka_msf(df).collect()]
+    assert sorted(got) == sorted(again)
+    # the parallel-edge pair kept the lighter weight
+    assert ("c004", "c005", 0.5) in got
+
+
+def test_msf_perturbed_weights_unique_and_order_preserving(spark):
+    from jgtextrank_spark.algos.mst import msf_perturbed_weights
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0), ("a", "c", 2.0)],
+        "src string, dst string, weight double",
+    )
+    rows = msf_perturbed_weights(df).collect()
+    # canonical pair gets the same perturbation in either orientation
+    ab = {r["weight"] for r in rows if {r["src"], r["dst"]} == {"a", "b"}}
+    assert len(ab) == 1
+    ws = sorted(r["weight"] for r in rows)
+    assert len({round(x, 15) for x in ws}) == 3  # a-b dup, others distinct
+    for x in ws:
+        assert x != float(int(x)) and 0 < x - int(x) < 1  # strict fraction
+    # integral order preserved: every perturbed 1.x < perturbed 2.x
+    assert max(w for w in ws if w < 2) < min(w for w in ws if w >= 2)
+
+
 # ------------------------------------------------- graph stats (round 4b)
 def test_reciprocity_vs_nx(spark):
     from jgtextrank_spark.algos.graphstats import reciprocity
