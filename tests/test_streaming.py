@@ -308,6 +308,77 @@ def test_streaming_minhash_saturation_no_reemission(spark, tmp_path):
     assert len(rows) == len(set(rows))  # no duplicate emissions
 
 
+def test_streaming_minhash_dedup_sink_exactly_once(spark, tmp_path):
+    """Cross-batch duplicate closure (NOTES round-3 gap): an overflow-
+    evicted url re-arriving in a later microbatch re-emits its pairs,
+    but the dedup sink's anti-join keeps each (doc_a, doc_b) exactly
+    once in the parquet sink; reprocessing the whole stream from a fresh
+    checkpoint (same batch ids) leaves the sink unchanged (per-batch
+    partition overwrite)."""
+    from jgtextrank_spark.streaming import streaming_minhash_dedup_sink
+
+    same = "the quick brown fox jumps over the lazy dog again today"
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    )
+    base = tmp_path / "mds"
+    # batch 1: a admitted (cap=1); b..f overflow (emit vs a); FIFO cap
+    # 4*1 evicts b once c,d,e,f arrive
+    spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), b"", same, "en")
+         for u in ("a", "b", "c", "d", "e", "f")],
+        schema,
+    ).coalesce(1).write.parquet(str(base / "f1.parquet"))
+    import time as _t
+    _t.sleep(1.1)
+    # batch 2: b re-arrives -> re-emits (a, b)
+    spark.createDataFrame(
+        [("b", dt.datetime(2024, 1, 1, 1), b"", same, "en")], schema
+    ).coalesce(1).write.parquet(str(base / "f2.parquet"))
+
+    store = spark.createDataFrame(
+        [(u, same) for u in "abcdef"], "url string, text string"
+    )
+    sink = str(tmp_path / "mds_sink")
+
+    def run(ckpt):
+        pages = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(base / "*"))
+        )
+        q = (
+            streaming_minhash_dedup_sink(
+                pages, store, sink,
+                bands=4, rows_per_band=2, max_per_bucket=1,
+                verify_threshold=0.5,
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    rows = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    want = {("a", x, 1.0) for x in "bcdef"}
+    assert set(rows) == want
+    assert len(rows) == len(want)  # (a, b) exactly once despite re-emit
+
+    # full reprocess, fresh checkpoint: same batch ids overwrite their
+    # own partitions; sink content is unchanged
+    run("ck2")
+    rows2 = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert sorted(rows2) == sorted(rows)
+
+
 def _write_session_files(spark, base, batches):
     """One parquet dir per micro-batch, mtime-ordered so the file source
     (maxFilesPerTrigger=1) replays them in sequence."""
