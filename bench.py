@@ -332,6 +332,35 @@ def bench_warm_start(
     }
 
 
+def bench_msf_powerlaw(
+    spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000
+) -> dict:
+    """Borůvka MSF on the 2M-edge power-law graph with md5-perturbed
+    distinct weights: O(log V) selection rounds, each one join+aggregate
+    over the (static, shrinking-external) edge table; the contraction
+    graphs are component-count-sized."""
+    from jgtextrank_spark.algos.mst import boruvka_msf, msf_perturbed_weights
+
+    edges = msf_perturbed_weights(
+        synth_powerlaw_edges(spark, n_vertices, n_edges).withColumn(
+            "weight", F.lit(1.0)
+        )
+    ).persist()
+    edges.count()
+    t0 = time.time()
+    msf = boruvka_msf(edges).persist()
+    n_forest = msf.count()
+    wall = time.time() - t0
+    edges.unpersist()
+    msf.unpersist()
+    return {
+        "vertices": n_vertices,
+        "input_edges": n_edges,
+        "forest_edges": n_forest,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_cc_incremental(
     spark: SparkSession, n: int = 200_000, n_delta: int = 100
 ) -> dict:
@@ -512,6 +541,14 @@ def main() -> None:
         "skipgram_pairs",
         lambda: entrymod.q_skipgram_pairs(spark, sf_dir).count(),
     )
+    timed(
+        "node2vec_walks",
+        lambda: entrymod.q_node2vec_walks(spark, sf_dir).count(),
+    )
+    timed(
+        "msf_forest",
+        lambda: entrymod.q_msf_forest(spark, sf_dir).count(),
+    )
 
     # distributed SCC rounds on the 2M-edge power-law digraph (giant SCC
     # + ~1% tendrils under this generator — the bow-tie regime)
@@ -525,6 +562,10 @@ def main() -> None:
     # incremental CC: insert-only delta on the adversarial chain
     cc_inc = bench_cc_incremental(spark)
     queries["cc_incremental_chain_200k"] = cc_inc["warm_wall_sec"]
+
+    # Borůvka MSF on the 2M-edge power-law graph
+    msf_detail = bench_msf_powerlaw(spark)
+    queries["msf_powerlaw_2m"] = msf_detail["wall_sec"]
 
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
@@ -550,6 +591,7 @@ def main() -> None:
             "scc_distributed": scc_detail,
             "pagerank_warm_start": warm_detail,
             "cc_incremental": cc_inc,
+            "msf_powerlaw": msf_detail,
         },
     }
     print(json.dumps(out))

@@ -160,6 +160,27 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "node2vec_walks": [
+        ("per-step lineage truncated: the output is a union over"
+         " localCheckpointed step RDDs (each step's candidate join +"
+         " window sampler ran eagerly; an unbounded join chain would"
+         " show here instead)",
+         lambda p: "Union" in p and "ExistingRDD" in p),
+        ("no cartesian anywhere", lambda p: "CartesianProduct" not in p),
+        ("md5 uniforms are JVM expressions, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "msf_forest": [
+        ("per-round component-min is a hash aggregate (partial"
+         " map-side combine), no sort-based global pick",
+         lambda p: "HashAggregate" in p),
+        ("label attach joins are equi-joins, no cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("weight perturbation is JVM column algebra, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
 }
 
 
@@ -186,7 +207,7 @@ def main():
         "url_canonical", "pii_scrub", "repetition", "decontaminate",
         "link_prediction", "scc_per_doc", "anchor_text",
         "duplicate_spans", "bm25_topk", "skipgram_pairs",
-        "stratified_sample",
+        "stratified_sample", "node2vec_walks", "msf_forest",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
