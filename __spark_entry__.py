@@ -580,6 +580,28 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction(link_edges(_synth_pages(spark, sf_dir)))
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity (shared in-links, Small 1973) over the
+    synthesized page digraph: n_common = (A^T A)[u,v] + in-link Jaccard
+    via one wedge join on the citing page. Oracle replays the wedge
+    algebra on the closed-form edge CTE."""
+    _prep(spark)
+    from jgtextrank_spark.algos.linkpred import cocitation
+    from jgtextrank_spark.weblinks import link_edges
+
+    return cocitation(link_edges(_synth_pages(spark, sf_dir)))
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling (shared out-links, Kessler 1963) — the
+    out-link dual of co-citation; centers are shared targets."""
+    _prep(spark)
+    from jgtextrank_spark.algos.linkpred import bibliographic_coupling
+    from jgtextrank_spark.weblinks import link_edges
+
+    return bibliographic_coupling(link_edges(_synth_pages(spark, sf_dir)))
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hubs/authorities on the directed weighted host graph, fixed
     supersteps (nx semantics: raw a = A^T h, raw h = A a, per-iteration
@@ -1421,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "link_prediction": q_link_prediction,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
         "web_host_pagerank": q_web_host_pagerank,
         "hits_hosts": q_hits_hosts,
         "salsa_pages": q_salsa_pages,
@@ -2955,6 +2979,35 @@ SELECT n.u, n.v, n.cn,
 FROM nonadj n
 JOIN deg du ON du.w = n.u
 JOIN deg dv ON dv.w = n.v"""
+    # cocitation / coupling: directed wedge on the shared center (citing
+    # page resp. cited target); self-loops out, distinct edges, leaf-side
+    # degree for the Jaccard by inclusion-exclusion
+    d["cocitation"] = f"""
+WITH {_WEB_LINK_EDGES},
+sl AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ind AS (SELECT dst AS n, count(*)::BIGINT AS d FROM sl GROUP BY dst),
+p AS (
+  SELECT a.dst AS u, b.dst AS v, count(*)::BIGINT AS n_common
+  FROM sl a JOIN sl b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT u, v, n_common,
+       round(CAST(n_common AS DOUBLE) / (du.d + dv.d - n_common), 6)
+         AS jaccard
+FROM p JOIN ind du ON du.n = p.u JOIN ind dv ON dv.n = p.v"""
+    d["bib_coupling"] = f"""
+WITH {_WEB_LINK_EDGES},
+sl AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+outd AS (SELECT src AS n, count(*)::BIGINT AS d FROM sl GROUP BY src),
+p AS (
+  SELECT a.src AS u, b.src AS v, count(*)::BIGINT AS n_common
+  FROM sl a JOIN sl b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT u, v, n_common,
+       round(CAST(n_common AS DOUBLE) / (du.d + dv.d - n_common), 6)
+         AS jaccard
+FROM p JOIN outd du ON du.n = p.u JOIN outd dv ON dv.n = p.v"""
     d["web_text_extract"] = f"""
 WITH {_WEB_BASE},
 ct AS (

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["link_prediction"]
+__all__ = ["link_prediction", "cocitation", "bibliographic_coupling"]
 
 
 def link_prediction(
@@ -109,3 +109,102 @@ def link_prediction(
         )
     )
     return out
+
+
+def _directed_cosimilarity(
+    edges: DataFrame,
+    center_col: str,
+    leaf_col: str,
+    max_center_degree: int,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared wedge engine for cocitation / bibliographic coupling: pairs
+    of *leaf* vertices sharing a *center* (the directed analogue of the
+    link_prediction wedge above). Returns ``(u, v, n_common, jaccard)``
+    for unordered leaf pairs u < v with >= 1 shared center, where
+    jaccard normalizes by the leaf-side degree (in-degree for
+    cocitation, out-degree for coupling) via inclusion-exclusion.
+
+    Adjacent pairs are NOT excluded — these are similarity measures
+    (Small 1973 / Kessler 1963), not next-edge prediction, so a page
+    that links to its sibling still counts as similar to it.
+
+    Same hot-key economics as link_prediction: the wedge is quadratic in
+    the center's fan-out, so ``max_center_degree`` skips super-hub
+    centers (a portal page citing 10^6 URLs mints 10^12 pairs); skipped
+    centers' contributions vanish from n_common with documented recall
+    loss. 0 disables the guard (exact — the oracle/test mode)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = (
+        edges.select(
+            F.col(center_col).alias("w"), F.col(leaf_col).alias("n")
+        )
+        .filter(F.col("w") != F.col("n"))
+        .distinct()
+        .repartition(num_partitions, "w")
+        .persist()
+    )
+    leaf_deg = e.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    centers = e
+    if max_center_degree > 0:
+        cdeg = e.groupBy("w").agg(F.count(F.lit(1)).alias("cdeg"))
+        centers = e.join(
+            cdeg.filter(F.col("cdeg") <= max_center_degree).select("w"), "w"
+        )
+    pairs = (
+        centers.select("w", F.col("n").alias("u"))
+        .join(centers.select("w", F.col("n").alias("v")), "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    du = leaf_deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
+    dv = leaf_deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("d_u") + F.col("d_v") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def cocitation(
+    edges: DataFrame,
+    max_center_degree: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973): for each unordered pair of
+    pages (u < v) cited by at least one common source, the number of
+    common in-neighbors ``n_common`` = (A^T A)[u, v] and the Jaccard of
+    their in-link sets. Generalizes the reference's co-occurrence edge
+    weighting (graph.py builds term edges from shared windows; this
+    builds page-similarity pairs from shared citers)."""
+    return _directed_cosimilarity(
+        edges, "src", "dst", max_center_degree, num_partitions
+    )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    max_center_degree: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): pairs of pages (u < v)
+    citing at least one common target — ``n_common`` = (A A^T)[u, v] and
+    the Jaccard of their out-link sets. The out-link dual of
+    :func:`cocitation`; centers are shared *targets*, so the hub guard
+    bounds target in-degree."""
+    return _directed_cosimilarity(
+        edges, "dst", "src", max_center_degree, num_partitions
+    )

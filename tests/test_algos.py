@@ -1384,3 +1384,66 @@ def test_rich_club_vs_nx(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], abs=1e-12), k
+
+
+def test_cocitation_and_coupling_vs_matrix(spark):
+    """Co-citation = off-diagonal of A^T A, bibliographic coupling =
+    off-diagonal of A A^T (0/1 adjacency, self-loops dropped) — checked
+    against a dense numpy recomputation on a random digraph, Jaccard
+    against explicit in/out-link set algebra."""
+    import numpy as np
+
+    from jgtextrank_spark.algos.linkpred import (
+        bibliographic_coupling,
+        cocitation,
+    )
+
+    n = 25
+    edges = [(u, v) for (u, v) in _rand_graph(seed=17, n=n, m=90)]
+    df = _edges_df(spark, edges)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in edges:
+        if u != v:
+            A[u, v] = 1
+    for func, M in [(cocitation, A.T @ A), (bibliographic_coupling, A @ A.T)]:
+        deg = (A.sum(axis=0) if func is cocitation else A.sum(axis=1))
+        # the operator orders pairs by the (string) vertex ids; re-key
+        # by sorted ints to compare with the matrix (M is symmetric)
+        got = {
+            tuple(sorted((int(r["u"]), int(r["v"])))): r
+            for r in func(df).collect()
+        }
+        want = {
+            (u, v): int(M[u, v])
+            for u in range(n)
+            for v in range(u + 1, n)
+            if M[u, v] > 0
+        }
+        assert got.keys() == want.keys(), func.__name__
+        for (u, v), c in want.items():
+            r = got[(u, v)]
+            assert r["n_common"] == c
+            j = c / (deg[u] + deg[v] - c)
+            assert abs(r["jaccard"] - j) <= 1e-6, (u, v, r["jaccard"], j)
+
+
+def test_cocitation_hub_guard_and_adjacent_pairs(spark):
+    """The guard drops super-hub centers' contributions; unlike
+    link_prediction, ADJACENT pairs are kept (similarity, not
+    prediction)."""
+    from jgtextrank_spark.algos.linkpred import cocitation
+
+    # hub 0 cites 1..6; 7 cites 1,2; and 1 cites 2 (adjacent pair kept)
+    edges = [(0, i) for i in range(1, 7)] + [(7, 1), (7, 2), (1, 2)]
+    df = _edges_df(spark, edges)
+    full = {
+        (r["u"], r["v"]): r["n_common"] for r in cocitation(df).collect()
+    }
+    assert full[("1", "2")] == 2          # centers 0 and 7, edge 1->2 kept
+    assert full[("3", "4")] == 1
+    guarded = {
+        (r["u"], r["v"]): r["n_common"]
+        for r in cocitation(df, max_center_degree=2).collect()
+    }
+    assert guarded[("1", "2")] == 1       # hub 0 skipped
+    assert ("3", "4") not in guarded
