@@ -962,6 +962,29 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence paragraph dedup (CCNet line dedup)
+    over synthesized multi-paragraph docs: each document's text plus a
+    globally repeated newsletter line and a per-host-group copyright
+    line — the newsletter survives once corpus-wide, each copyright once
+    per host group, and duplicate document bodies collapse to their
+    first occurrence. Oracle replays the md5-normalized first-occurrence
+    window bit-for-bit in DuckDB."""
+    _prep(spark)
+    from jgtextrank_spark.functions.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter.\nCopyright 2024 h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.dedup import ngram_jaccard_pairs
@@ -1467,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2551,6 +2575,47 @@ FROM s""",
 WITH fp AS (SELECT doc_id, {fp_norm} AS fp FROM documents)
 SELECT fp, min(doc_id) AS canonical_doc, count(*)::BIGINT AS n_docs
 FROM fp GROUP BY fp HAVING count(*) > 1""",
+        # paragraph dedup: same synthesized 3-paragraph docs, md5 of the
+        # ws-collapsed lowered paragraph as the dedup key, first
+        # occurrence by (doc_id, pos), blanks always pass
+        "paragraph_dedup": r"""
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter.' || chr(10)
+              || 'Copyright 2024 h' || (doc_id % 7)::VARCHAR
+              || '.example.org' AS text
+  FROM documents
+),
+p AS (
+  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+         unnest(parts) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)
+),
+k AS (
+  SELECT doc_id, pos, para, trim(para) = '' AS blank,
+         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey
+  FROM p
+),
+r AS (
+  SELECT *, CASE WHEN blank THEN 1 ELSE
+    row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pos) END AS rn
+  FROM k
+),
+kept AS (SELECT * FROM r WHERE blank OR rn = 1),
+reb AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         sum(CASE WHEN blank THEN 0 ELSE 1 END)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, sum(CASE WHEN blank THEN 0 ELSE 1 END)::BIGINT AS n_paras
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(reb.text_dedup, '') AS text_dedup,
+       coalesce(tot.n_paras, 0) AS n_paras,
+       coalesce(reb.n_kept, 0) AS n_kept
+FROM d LEFT JOIN reb ON reb.doc_id = d.doc_id
+       LEFT JOIN tot ON tot.doc_id = d.doc_id""",
         "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES},
 inter AS (

@@ -27,6 +27,7 @@ __all__ = [
     "kgram_positions",
     "duplicate_spans",
     "strip_duplicate_spans",
+    "paragraph_dedup",
     "dedup_clusters",
     "dedup_filter",
 ]
@@ -553,6 +554,89 @@ def strip_duplicate_spans(
         F.concat_ws(
             " ", F.transform(kept, lambda x: x["t"])
         ).alias("text_clean"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the CCNet line-dedup
+    operator, Wenzek et al. 2020): split every document on ``sep``, drop
+    each paragraph whose normalized form (whitespace-collapsed,
+    lowercased) already occurred earlier in the corpus, keep the FIRST
+    occurrence (smallest ``(doc_id, pos)``), and re-join the survivors in
+    original order. This is the standard boilerplate-killer at corpus
+    granularity — a nav bar or cookie banner repeated across a site
+    survives exactly once — complementing :func:`duplicate_spans` (token
+    spans within the line structure) and ``boilerplate_lines``
+    (per-document frequency heuristics, no cross-corpus state).
+
+    Returns ``(doc_id, text_dedup, n_paras, n_kept)``; blank paragraphs
+    (whitespace-only) always pass through — they are framing, not
+    content — and count in neither total.
+
+    Scale shape: one zero-shuffle posexplode projection (O(total
+    paragraphs) rows), ONE exchange on the 16-byte paragraph hash for the
+    first-occurrence window (group cardinality = distinct paragraphs,
+    group size = occurrence count — tiny except true boilerplate, and a
+    window computes rank in one pass without joining winners back), one
+    per-doc aggregation to reassemble. No global window, no Python; md5
+    keys keep the whole decision bit-replayable in DuckDB."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    paras = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "blank", F.trim(F.col("para")) == ""
+    ).withColumn(
+        "pkey",
+        F.md5(F.lower(F.trim(F.regexp_replace("para", r"\s+", " ")))),
+    )
+    w = Window.partitionBy("pkey").orderBy("doc_id", "pos")
+    ranked = paras.withColumn(
+        "rn", F.when(F.col("blank"), F.lit(1)).otherwise(F.row_number().over(w))
+    )
+    kept = ranked.filter(F.col("blank") | (F.col("rn") == 1))
+    rebuilt = (
+        kept.repartition(num_partitions, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text_dedup"),
+            F.sum(F.when(F.col("blank"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    totals = paras.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("blank"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_paras")
+    )
+    return (
+        df.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )
 
 

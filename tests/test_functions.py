@@ -478,3 +478,42 @@ def test_remove_boilerplate_threshold_boundary(spark):
         for r in remove_boilerplate_lines(docs, 2).collect()
     }
     assert got == {1: "x", 2: "y", 3: "solo\nz"}
+
+
+def test_paragraph_dedup_vs_python(spark):
+    """Corpus-wide first-occurrence paragraph dedup vs a direct Python
+    replay: normalized (ws-collapsed, lowercased) paragraph seen-set in
+    (doc_id, pos) order; blanks always pass; all-dup docs come back
+    empty."""
+    import re
+
+    from jgtextrank_spark.functions.dedup import paragraph_dedup
+
+    docs = [
+        (0, "Breaking news today.\nSubscribe to our newsletter!\n\nBody A."),
+        (1, "subscribe TO our   newsletter!\nBody B.\nBody B."),
+        (2, "Subscribe to our newsletter!"),   # -> fully deduped
+        (3, ""),                                # blank doc
+        (4, "Body A.\n \nFresh tail."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df).collect()
+    }
+
+    seen, want = set(), {}
+    for doc_id, text in docs:
+        kept, n_paras, n_kept = [], 0, 0
+        for para in text.split("\n"):
+            if para.strip() == "":
+                kept.append(para)
+                continue
+            n_paras += 1
+            key = re.sub(r"\s+", " ", para).strip().lower()
+            if key not in seen:
+                seen.add(key)
+                kept.append(para)
+                n_kept += 1
+        want[doc_id] = ("\n".join(kept), n_paras, n_kept)
+    assert got == want
