@@ -602,6 +602,45 @@ def q_bib_coupling(spark, sf_dir):
     return bibliographic_coupling(link_edges(_synth_pages(spark, sf_dir)))
 
 
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots politeness over the synthesized page URLs:
+    per-host robots bodies exercise grouping (catch-all vs named
+    'graftbot' groups on even hosts), wildcard rules (/d/1*), and the
+    longest-match-with-allow-tie (/d/12 vs /d/1*). The oracle derives
+    every verdict in CLOSED FORM from the doc_id arithmetic — fully
+    independent of the parser and matcher."""
+    _prep(spark)
+    from jgtextrank_spark.crawl import robots_filter
+
+    k = F.col("id")
+    robots = spark.range(7).select(
+        F.concat(
+            F.lit("h"), k.cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.concat(
+            F.lit(
+                "# synthetic robots\nUser-agent: *\n"
+                "Disallow: /d/1*\nAllow: /d/12\n"
+            ),
+            F.when(
+                k % 2 == 0,
+                F.lit("User-agent: graftbot\nDisallow: /d/9*\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    frontier = _synth_pages(spark, sf_dir).select("url")
+    out = robots_filter(frontier, robots, agent="graftbot")
+    # no-match rows carry NULL rule/path; the gate comparator sorts
+    # mixed-type tuples, so map them to '' here and in the oracle
+    return out.select(
+        "url",
+        "host",
+        "allowed",
+        F.coalesce("matched_rule", F.lit("")).alias("matched_rule"),
+        F.coalesce("matched_path", F.lit("")).alias("matched_path"),
+    )
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hubs/authorities on the directed weighted host graph, fixed
     supersteps (nx semantics: raw a = A^T h, raw h = A a, per-iteration
@@ -1514,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_mixture": q_temperature_mixture,
         "crawl_frontier": q_crawl_frontier,
+        "robots_filter": q_robots_filter,
         "butterflies": q_butterflies,
         "wl_fingerprints": q_wl_fingerprints,
         "bigram_lm": q_bigram_lm,
@@ -3589,6 +3629,30 @@ FROM counts, t"""
     # closed-form link derivation (same as web_link_edges); crawled set =
     # the page urls themselves; host parsed with the SAME regexp as
     # weblinks.host_of
+    # robots verdicts in closed form from the doc_id arithmetic: even
+    # hosts obey the named graftbot group (Disallow /d/9*), odd hosts
+    # the catch-all (Disallow /d/1*, Allow /d/12 winning the length tie)
+    d["robots_filter"] = """
+WITH u AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example.org/d/'
+           || doc_id::VARCHAR || '.html' AS url,
+         'h' || (doc_id % 7)::VARCHAR || '.example.org' AS host,
+         doc_id::VARCHAR AS ds,
+         (doc_id % 7) % 2 = 0 AS even
+  FROM documents
+)
+SELECT url, host,
+  CASE WHEN even THEN NOT (ds LIKE '9%')
+       ELSE (ds LIKE '12%') OR NOT (ds LIKE '1%') END AS allowed,
+  CASE WHEN even AND ds LIKE '9%' THEN 'disallow'
+       WHEN NOT even AND ds LIKE '12%' THEN 'allow'
+       WHEN NOT even AND ds LIKE '1%' THEN 'disallow'
+       ELSE '' END AS matched_rule,
+  CASE WHEN even AND ds LIKE '9%' THEN '/d/9*'
+       WHEN NOT even AND ds LIKE '12%' THEN '/d/12'
+       WHEN NOT even AND ds LIKE '1%' THEN '/d/1*'
+       ELSE '' END AS matched_path
+FROM u"""
     d["crawl_frontier"] = f"""
 WITH {_WEB_LINK_EDGES},
 crawled AS (SELECT src AS url FROM base),

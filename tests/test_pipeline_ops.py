@@ -754,3 +754,78 @@ def test_cc_warm_labels_guards(spark):
         connected_components(edges, algorithm="star", init_labels=prior)
     with _pt.raises(ValueError):
         connected_components(edges, encode_ids=True, init_labels=prior)
+
+
+def test_parse_robots_group_semantics(spark):
+    """RFC 9309 grouping: consecutive UA lines share a group; the most
+    specific matching group wins (named beats *); rules before any UA
+    line are ignored; empty values and comments dropped."""
+    from jgtextrank_spark.crawl import parse_robots
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.org",
+                "# hi\nUser-agent: *\nDisallow: /private/\n"
+                "Allow: /private/ok\nDisallow:\n",
+            ),
+            (
+                "b.org",
+                "User-agent: mybot\nUser-Agent: otherbot\n"
+                "Disallow: /blocked\n\nUser-agent: *\nDisallow: /\n",
+            ),
+            ("c.org", "Disallow: /orphan\nUser-agent: evil\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["rule"], r["path"]): r["rx"]
+        for r in parse_robots(robots, agent="MyBot").collect()
+    }
+    assert set(rules) == {
+        ("a.org", "disallow", "/private/"),
+        ("a.org", "allow", "/private/ok"),
+        ("b.org", "disallow", "/blocked"),   # named group, not the * group
+    }
+    assert rules[("a.org", "disallow", "/private/")] == "^/private/"
+
+
+def test_robots_filter_longest_match_and_wildcards(spark):
+    """Longest-match decides, allow wins length ties, * and trailing $
+    wildcards, bare-origin URLs match path '/', hosts without robots are
+    allowed."""
+    from jgtextrank_spark.crawl import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.org",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                "Disallow: /*.pdf$\nAllow: /dir\nDisallow: /dir\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.org/private/x",),
+            ("https://a.org/private/ok/page",),
+            ("https://a.org/doc.pdf",),
+            ("https://a.org/doc.pdfx",),   # $ anchor must not match
+            ("https://a.org/dir/tie",),    # allow wins the 4-4 tie
+            ("https://a.org",),            # bare origin -> path '/'
+            ("https://z.org/anything",),   # no robots -> allowed
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_rule"])
+        for r in robots_filter(frontier, robots).collect()
+    }
+    assert got["https://a.org/private/x"] == (False, "disallow")
+    assert got["https://a.org/private/ok/page"] == (True, "allow")
+    assert got["https://a.org/doc.pdf"] == (False, "disallow")
+    assert got["https://a.org/doc.pdfx"] == (True, None)
+    assert got["https://a.org/dir/tie"] == (True, "allow")
+    assert got["https://a.org"] == (True, None)
+    assert got["https://z.org/anything"] == (True, None)
