@@ -602,6 +602,23 @@ def q_bib_coupling(spark, sf_dir):
     return bibliographic_coupling(link_edges(_synth_pages(spark, sf_dir)))
 
 
+def q_betweenness_pages(spark, sf_dir):
+    """EXACT Brandes betweenness (all sources, undirected, unnormalized)
+    on the synthesized page link graph via the level-synchronous
+    multi-source-vectorized sweep. Data-dependent round count, so the
+    oracle is a committed golden verified at generation time against
+    nx.betweenness_centrality to 1e-9 with a rounding-boundary-distance
+    check (scripts/make_goldens.py)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.betweenness import betweenness_sampled
+    from jgtextrank_spark.weblinks import link_edges
+
+    out = betweenness_sampled(link_edges(_synth_pages(spark, sf_dir)))
+    return out.select(
+        "vertex", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots politeness over the synthesized page URLs:
     per-host robots bodies exercise grouping (catch-all vs named
@@ -1554,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
+        "betweenness_pages": q_betweenness_pages,
         "butterflies": q_butterflies,
         "wl_fingerprints": q_wl_fingerprints,
         "bigram_lm": q_bigram_lm,
@@ -2476,6 +2494,10 @@ LEFT JOIN tc ON tc.vertex = av.vertex""",
         "msf_forest": (
             "SELECT u, v, weight FROM "
             "read_parquet('/root/repo/goldens/msf_sf0.01.parquet')"
+        ),
+        "betweenness_pages": (
+            "SELECT vertex, betweenness FROM "
+            "read_parquet('/root/repo/goldens/betweenness_sf0.01.parquet')"
         ),
         "components_per_doc": f"""
 WITH RECURSIVE {_TOK},

@@ -173,6 +173,45 @@ def make_msf(spark, entrymod, sf_dir: str, out: Path):
     _write(got_df, out)
 
 
+def make_betweenness(spark, entrymod, sf_dir: str, out: Path):
+    """Exact betweenness golden on the synthesized page link graph,
+    verified against nx.betweenness_centrality(normalized=False) to
+    1e-9 — and every value checked to sit > 1e-7 away from a 6-dp
+    rounding boundary, so the gate's round(x, 6) comparison is stable
+    under cross-run aggregation-order noise."""
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.algos.betweenness import betweenness_sampled
+    from jgtextrank_spark.weblinks import link_edges
+
+    edges = link_edges(entrymod._synth_pages(spark, sf_dir))
+    G = nx.Graph()
+    for r in edges.collect():
+        if r["src"] != r["dst"]:
+            G.add_edge(r["src"], r["dst"])
+    want = nx.betweenness_centrality(G, normalized=False)
+    got_df = betweenness_sampled(edges).persist()
+    got = {r["vertex"]: r["betweenness"] for r in got_df.collect()}
+    assert got.keys() == want.keys(), (
+        f"vertex set mismatch: {len(got)} vs {len(want)}"
+    )
+    for v, b in want.items():
+        assert abs(got[v] - b) <= 1e-9, (v, got[v], b)
+        frac = abs(b * 1e6 - round(b * 1e6))
+        assert abs(frac - 0.5) > 0.1, (
+            f"value {b!r} at vertex {v} is too close to a 6-dp rounding "
+            f"boundary for a stable golden"
+        )
+    print(f"betweenness verified vs nx ({len(got)} vertices, 1e-9)")
+    _write(
+        got_df.select(
+            "vertex", F.round("betweenness", 6).alias("betweenness")
+        ),
+        out,
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf_tag = Path(sf_dir).name
@@ -186,6 +225,9 @@ def main():
     make_coreness(spark, entrymod, sf_dir, gold_dir / f"coreness_{sf_tag}.parquet")
     make_textrank(spark, entrymod, sf_dir, gold_dir / f"textrank_{sf_tag}.parquet")
     make_msf(spark, entrymod, sf_dir, gold_dir / f"msf_{sf_tag}.parquet")
+    make_betweenness(
+        spark, entrymod, sf_dir, gold_dir / f"betweenness_{sf_tag}.parquet"
+    )
 
 
 if __name__ == "__main__":

@@ -1447,3 +1447,101 @@ def test_cocitation_hub_guard_and_adjacent_pairs(spark):
     }
     assert guarded[("1", "2")] == 1       # hub 0 skipped
     assert ("3", "4") not in guarded
+
+
+def _brandes_py(edges, sources):
+    """Reference Brandes accumulation (unscaled delta sums, undirected)
+    for explicit sources — the textbook algorithm, used to check the
+    distributed level-synchronous rewrite on arbitrary source subsets."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[str(u)].add(str(v))
+        adj[str(v)].add(str(u))
+    nodes = set(adj)
+    for u in list(adj):
+        nodes |= adj[u]
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in sources:
+        s = str(s)
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = dict.fromkeys(order, 0.0)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_all_sources_vs_nx(spark):
+    """sources=all + rescale is EXACT betweenness: matches
+    nx.betweenness_centrality(normalized=False) on random graphs, both
+    undirected and directed."""
+    from jgtextrank_spark.algos.betweenness import betweenness_sampled
+
+    edges = _rand_graph(seed=23, n=28, m=70, selfloops=False)
+    df = _edges_df(spark, edges)
+
+    G = _nx_graph(edges)
+    want = nx.betweenness_centrality(G, normalized=False)
+    got = {
+        r["vertex"]: r["betweenness"]
+        for r in betweenness_sampled(df).collect()
+    }
+    assert got.keys() == want.keys()
+    for v, b in want.items():
+        assert abs(got[v] - b) <= 1e-9, (v, got[v], b)
+
+    D = nx.DiGraph()
+    D.add_edges_from((str(u), str(v)) for u, v in edges if u != v)
+    want_d = nx.betweenness_centrality(D, normalized=False)
+    got_d = {
+        r["vertex"]: r["betweenness"]
+        for r in betweenness_sampled(df, directed=True).collect()
+    }
+    assert got_d.keys() == want_d.keys()
+    for v, b in want_d.items():
+        assert abs(got_d[v] - b) <= 1e-9, (v, got_d[v], b)
+
+
+def test_betweenness_sampled_sources_exact_subset(spark):
+    """Explicit source subsets reproduce the textbook per-source Brandes
+    accumulation exactly (x n/S x 1/2 rescale), and the deterministic
+    md5 k-sample is replayable."""
+    from jgtextrank_spark.algos.betweenness import betweenness_sampled
+
+    edges = _rand_graph(seed=29, n=20, m=45, selfloops=False)
+    df = _edges_df(spark, edges)
+    G = _nx_graph(edges)
+    n = G.number_of_nodes()
+    sources = ["1", "4", "7"]
+    raw = _brandes_py(edges, sources)
+    got = {
+        r["vertex"]: r["betweenness"]
+        for r in betweenness_sampled(df, sources=sources).collect()
+    }
+    scale = 0.5 * n / len(sources)
+    for v in raw:
+        assert abs(got[v] - raw[v] * scale) <= 1e-9, v
+    # md5 k-sampling is deterministic: two runs agree exactly
+    a = sorted(betweenness_sampled(df, k=5).collect())
+    b = sorted(betweenness_sampled(df, k=5).collect())
+    assert a == b
