@@ -419,6 +419,31 @@ def bench_cc_incremental(
     }
 
 
+def bench_betweenness_sampled(
+    spark: SparkSession, n_vertices: int = 200_000,
+    n_edges: int = 2_000_000, k: int = 8,
+) -> dict:
+    """Sampled Brandes betweenness (k deterministic md5 sources) on the
+    2M-edge power-law graph: 2*diameter level-synchronous rounds over a
+    (source, vertex)-keyed state — the estimator whose cost scales with
+    k, not |V|, so the same plan runs at 10^12 edges with k unchanged."""
+    from jgtextrank_spark.algos.betweenness import betweenness_sampled
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    out = betweenness_sampled(edges, k=k)
+    nonzero = out.filter(F.col("betweenness") > 0).count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "vertices": n_vertices,
+        "sources": k,
+        "nonzero_vertices": nonzero,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -567,6 +592,24 @@ def main() -> None:
     msf_detail = bench_msf_powerlaw(spark)
     queries["msf_powerlaw_2m"] = msf_detail["wall_sec"]
 
+    # sampled Brandes betweenness (k=8 sources) on the same graph
+    bw_detail = bench_betweenness_sampled(spark)
+    queries["betweenness_k8_powerlaw_2m"] = bw_detail["wall_sec"]
+
+    # corpus-wide paragraph dedup + robots politeness over the sf tables
+    timed(
+        "paragraph_dedup",
+        lambda: entrymod.q_paragraph_dedup(spark, sf_dir).count(),
+    )
+    timed(
+        "robots_filter",
+        lambda: entrymod.q_robots_filter(spark, sf_dir).count(),
+    )
+    timed(
+        "cocitation_web",
+        lambda: entrymod.q_cocitation(spark, sf_dir).count(),
+    )
+
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
         "value": round(pr["edges_per_sec_per_superstep"], 1),
@@ -592,6 +635,7 @@ def main() -> None:
             "pagerank_warm_start": warm_detail,
             "cc_incremental": cc_inc,
             "msf_powerlaw": msf_detail,
+            "betweenness_sampled": bw_detail,
         },
     }
     print(json.dumps(out))

@@ -181,6 +181,35 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "cocitation": [
+        ("keyed wedge equi-join on the shared citer, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and ("HashJoin" in p or "SortMergeJoin" in p)),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "paragraph_dedup": [
+        ("no single-partition exchange (the first-occurrence window is"
+         " keyed by the paragraph hash, never global)",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "robots_filter": [
+        ("rule table broadcast to the frontier side",
+         lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "betweenness_pages": [
+        ("no cartesian product anywhere in the sweep",
+         lambda p: "CartesianProduct" not in p),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
 }
 
 
@@ -208,6 +237,8 @@ def main():
         "link_prediction", "scc_per_doc", "anchor_text",
         "duplicate_spans", "bm25_topk", "skipgram_pairs",
         "stratified_sample", "node2vec_walks", "msf_forest",
+        "cocitation", "paragraph_dedup", "robots_filter",
+        "betweenness_pages",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
