@@ -619,6 +619,40 @@ def q_betweenness_pages(spark, sf_dir):
     )
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus rollup over synthesized hosts
+    covering every suffix branch (co.uk second-level, plain TLD,
+    single-label, IPv4; multiple hosts per domain via the doc_id
+    arithmetic). Oracle derives each doc's domain in CLOSED FORM and
+    replays the rollup — independent of the suffix-split algebra."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import domain_stats
+
+    d = F.col("doc_id")
+    host = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("a"),
+                (F.floor(d / 6) % 3).cast("string"),
+                F.lit(".news.co.uk"),
+            ),
+        )
+        .when(d % 6 == 1, F.lit("b.example.org"))
+        .when(d % 6 == 2, F.lit("www.example.org"))
+        .when(d % 6 == 3, F.lit("shop.com.au"))
+        .when(d % 6 == 4, F.lit("localhost"))
+        .otherwise(F.lit("10.0.0.1"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), d.cast("string")
+        ).alias("url"),
+        "text",
+    )
+    return domain_stats(pages)
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 robots politeness over the synthesized page URLs:
     per-host robots bodies exercise grouping (catch-all vs named
@@ -1016,6 +1050,28 @@ def q_dedup_exact(spark, sf_dir):
     from jgtextrank_spark.functions.dedup import exact_duplicates
 
     return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake detect+repair over synthesized corruption: every third
+    document's text (plus an accented suffix) is UTF-8-read-as-Latin-1
+    corrupted IN SPARK via the same byte algebra the fixer inverts; the
+    oracle reconstructs the expected repaired text in CLOSED FORM (the
+    original concat) without any charset ops — so detection *and* repair
+    are checked end-to-end against an independent derivation."""
+    _prep(spark)
+    from jgtextrank_spark.functions.curation import fix_mojibake
+
+    docs = _docs(spark, sf_dir)
+    orig = F.concat(F.col("text"), F.lit(" café naïve é"))
+    moji = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, moji)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fix_mojibake(corrupted)
 
 
 def q_paragraph_dedup(spark, sf_dir):
@@ -1547,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "fix_mojibake": q_fix_mojibake,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1571,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
+        "domain_stats": q_domain_stats,
         "betweenness_pages": q_betweenness_pages,
         "butterflies": q_butterflies,
         "wl_fingerprints": q_wl_fingerprints,
@@ -2637,6 +2695,13 @@ FROM s""",
 WITH fp AS (SELECT doc_id, {fp_norm} AS fp FROM documents)
 SELECT fp, min(doc_id) AS canonical_doc, count(*)::BIGINT AS n_docs
 FROM fp GROUP BY fp HAVING count(*) > 1""",
+        # mojibake: expected output reconstructed in closed form
+        "fix_mojibake": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' café naïve é'
+            ELSE text END AS text_fixed,
+       doc_id % 3 = 0 AS was_mojibake
+FROM documents""",
         # paragraph dedup: same synthesized 3-paragraph docs, md5 of the
         # ws-collapsed lowered paragraph as the dedup key, first
         # occurrence by (doc_id, pos), blanks always pass
@@ -3651,6 +3716,29 @@ FROM counts, t"""
     # closed-form link derivation (same as web_link_edges); crawled set =
     # the page urls themselves; host parsed with the SAME regexp as
     # weblinks.host_of
+    # per-domain rollup: closed-form domain per doc_id residue class
+    d["domain_stats"] = """
+WITH u AS (
+  SELECT CASE WHEN doc_id % 6 = 0 THEN 'news.co.uk'
+              WHEN doc_id % 6 IN (1, 2) THEN 'example.org'
+              WHEN doc_id % 6 = 3 THEN 'shop.com.au'
+              WHEN doc_id % 6 = 4 THEN 'localhost'
+              ELSE '10.0.0.1' END AS domain,
+         CASE WHEN doc_id % 6 = 0
+                THEN 'a' || ((doc_id // 6) % 3)::VARCHAR || '.news.co.uk'
+              WHEN doc_id % 6 = 1 THEN 'b.example.org'
+              WHEN doc_id % 6 = 2 THEN 'www.example.org'
+              WHEN doc_id % 6 = 3 THEN 'shop.com.au'
+              WHEN doc_id % 6 = 4 THEN 'localhost'
+              ELSE '10.0.0.1' END AS host,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(n_toks)::BIGINT AS n_tokens,
+       round(avg(n_toks), 6) AS mean_doc_tokens
+FROM u GROUP BY domain"""
     # robots verdicts in closed form from the doc_id arithmetic: even
     # hosts obey the named graftbot group (Disallow /d/9*), odd hosts
     # the catch-all (Disallow /d/1*, Allow /d/12 winning the length tie)

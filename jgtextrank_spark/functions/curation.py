@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "repetition_signals",
+    "fix_mojibake",
+    "MOJIBAKE_MARKER_RE",
     "pii_scrub",
     "decontaminate",
     "frequent_lines",
@@ -309,4 +311,56 @@ def remove_boilerplate_lines(
             .cast("long")
             .alias("n_dropped"),
         )
+    )
+
+
+# UTF-8-read-as-Latin-1 signature: a Latin-1 char that IS a UTF-8 lead
+# byte (C2-C3 two-byte, E0-EF three-byte) followed by a continuation-byte
+# char (80-BF). Shared with the DuckDB oracle via this constant.
+MOJIBAKE_MARKER_RE = "[\u00c2-\u00c3\u00e0-\u00ef][\u0080-\u00bf]"
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and repair the classic double-encoding corruption (UTF-8
+    bytes decoded as Latin-1: ``é`` renders as ``Ã©``, ``…`` as
+    ``â\u0080¦``) — the ftfy-style fixer every web-crawl ingest needs,
+    as pure JVM column algebra: repair = ``decode(encode(text, latin-1),
+    utf-8)``, a lossless byte round-trip exactly when the corruption
+    happened.
+
+    Returns ``(doc_id, text_fixed, was_mojibake)``. The repair applies
+    only when ALL of:
+
+    * mojibake markers present (``MOJIBAKE_MARKER_RE``);
+    * every char is <= U+00FF (true mojibake is all-Latin-1; anything
+      higher would be mangled by the Latin-1 encode);
+    * the Latin-1 re-encoding is VALID UTF-8 (``is_valid_utf8``) and
+      decoding it strictly reduces the marker count (a genuine Latin-1
+      text that merely looks suspicious is left alone).
+
+    Otherwise the text passes through unchanged. Windows-1252-specific
+    mojibake (curly quotes via C1 bytes) is out of scope — Spark 4's
+    charset allowlist has no cp1252 — and documented as such.
+
+    Map-only (no shuffle, no Python); the correctness gate replays the
+    verdict in closed form on synthesized corruption."""
+    t = F.col(text_col)
+    markers = F.regexp_count(t, F.lit(MOJIBAKE_MARKER_RE))
+    all_latin1 = t.rlike("^[\u0000-\u00ff]*$")
+    pre = (markers > 0) & all_latin1
+    # ANSI mode: encode throws on chars > U+00FF and decode throws on
+    # invalid UTF-8, so both run conditionally — encode only behind the
+    # all-Latin-1 check, decode only behind is_valid_utf8
+    raw = F.when(pre, F.encode(t, "ISO-8859-1"))
+    valid = F.coalesce(F.is_valid_utf8(raw), F.lit(False))
+    repaired = F.when(pre & valid, F.decode(raw, "UTF-8"))
+    fix = (
+        pre
+        & valid
+        & (F.regexp_count(repaired, F.lit(MOJIBAKE_MARKER_RE)) < markers)
+    )
+    return df.select(
+        "doc_id",
+        F.when(fix, repaired).otherwise(t).alias("text_fixed"),
+        fix.alias("was_mojibake"),
     )

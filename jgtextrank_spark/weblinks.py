@@ -54,6 +54,9 @@ __all__ = [
     "edge_diff",
     "top_movers",
     "host_of",
+    "registrable_domain",
+    "domain_stats",
+    "MULTI_PART_SUFFIXES",
     "host_edges",
     "html_to_text",
     "extract_page_text",
@@ -478,4 +481,67 @@ def host_edges(page_edges: DataFrame) -> DataFrame:
     )
     return hosts.groupBy("src", "dst").agg(
         F.sum("weight").alias("weight")
+    )
+
+
+# Common second-level public suffixes (heuristic subset of the Mozilla
+# Public Suffix List — the full PSL is a data file, not an algorithm;
+# this covers the high-traffic ccTLD second levels and is the documented
+# approximation, shared verbatim with the DuckDB oracle).
+MULTI_PART_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "co.za", "org.za",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+]
+
+
+def registrable_domain(col) -> Column:
+    """Registrable (pay-level) domain of a host: the label directly
+    below the public suffix — ``news.bbc.co.uk`` -> ``bbc.co.uk``,
+    ``a.example.org`` -> ``example.org``. Suffix detection uses
+    ``MULTI_PART_SUFFIXES`` (documented PSL approximation); IPv4
+    literals and single-label hosts pass through unchanged. Pure array
+    algebra on the split host — map-only, SQL-replayable."""
+    h = F.col(col) if isinstance(col, str) else col
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_ip = h.rlike(r"^[0-9.]+$")
+    return (
+        F.when(is_ip | (n <= 1), h)
+        .when((n >= 3) & last2.isin(MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_stats(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-registrable-domain corpus rollup: ``(domain, n_docs, n_hosts,
+    n_tokens, mean_doc_tokens)`` — the curation dashboard every crawl
+    pipeline keys its allow/deny lists on. One partial-agg-friendly
+    aggregation exchange keyed by domain (domain cardinality ~10^8 at
+    web scale — wide enough to parallelise, no skew beyond giant
+    domains which partial aggregation absorbs)."""
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    )
+    base = pages.select(
+        host_of(F.col("url")).alias("host"),
+        toks.cast("long").alias("n_toks"),
+    ).withColumn("domain", registrable_domain(F.col("host")))
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_toks"), 6).alias("mean_doc_tokens"),
     )

@@ -517,3 +517,33 @@ def test_paragraph_dedup_vs_python(spark):
                 n_kept += 1
         want[doc_id] = ("\n".join(kept), n_paras, n_kept)
     assert got == want
+
+
+def test_fix_mojibake(spark):
+    """Round-trip repair of UTF-8-read-as-Latin-1 corruption; clean text
+    and unrepairable mixes pass through untouched."""
+    from jgtextrank_spark.functions.curation import fix_mojibake
+
+    orig = "café … naïve élan"
+    moji = orig.encode("utf-8").decode("latin-1")
+    mixed = "→ arrow with " + "é".encode("utf-8").decode("latin-1")
+    rows = [
+        (0, moji),          # repairable
+        (1, "plain ascii"), # no markers
+        (2, "Ã la carte"),  # genuine Latin-1 (marker lead, no follower)
+        (3, mixed),         # >U+00FF char present: repair would corrupt
+        (4, ""),
+        (5, "caf\u00e9\u00a9x"),  # marker-shaped Latin-1 whose bytes are
+                                   # NOT valid UTF-8: is_valid_utf8 gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_fixed"], r["was_mojibake"])
+        for r in fix_mojibake(df).collect()
+    }
+    assert got[0] == (orig, True)
+    assert got[1] == ("plain ascii", False)
+    assert got[2] == ("Ã la carte", False)
+    assert got[3] == (mixed, False)
+    assert got[4] == ("", False)
+    assert got[5] == ("caf\u00e9\u00a9x", False)

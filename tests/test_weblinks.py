@@ -355,3 +355,47 @@ def test_anchor_text_table(spark):
         ("https://b.org/x", "Good Site"): 2,
         ("https://a.org/x2", "Good Site"): 1,
     }
+
+
+def test_registrable_domain_and_domain_stats(spark):
+    """PSL-approximation suffix handling (co.uk-style second levels),
+    IPv4/single-label passthrough, and the per-domain rollup arithmetic."""
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.weblinks import domain_stats, registrable_domain
+
+    hosts = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.org", "example.org"),
+        ("example.org", "example.org"),
+        ("localhost", "localhost"),
+        ("10.0.0.1", "10.0.0.1"),
+        ("shop.com.au", "shop.com.au"),      # registrable IS label+suffix
+        ("x.shop.com.au", "shop.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain("host").alias("d")
+        ).collect()
+    }
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+
+    pages = spark.createDataFrame(
+        [
+            ("https://news.bbc.co.uk/a", "one two three"),
+            ("https://www.bbc.co.uk/b", "four five"),
+            ("https://example.org/c", "six"),
+        ],
+        "url string, text string",
+    )
+    stats = {r["domain"]: r for r in domain_stats(pages).collect()}
+    assert stats["bbc.co.uk"]["n_docs"] == 2
+    assert stats["bbc.co.uk"]["n_hosts"] == 2
+    assert stats["bbc.co.uk"]["n_tokens"] == 5
+    assert stats["bbc.co.uk"]["mean_doc_tokens"] == 2.5
+    assert stats["example.org"]["n_docs"] == 1
+    assert stats["example.org"]["n_tokens"] == 1
