@@ -619,6 +619,35 @@ def q_betweenness_pages(spark, sf_dir):
     )
 
 
+PPR_SEEDS = [
+    "https://h0.example.org/d/0.html",
+    "https://h1.example.org/d/1.html",
+    "https://h2.example.org/d/2.html",
+]
+PPR_ITERS = 10  # fixed supersteps for the SQL-comparable multi-seed PPR
+
+
+def q_ppr_multi_seed(spark, sf_dir):
+    """Three concurrent personalized PageRanks (related-pages PPR) on the
+    synthesized page digraph, vectorized in one (seed, vertex)-keyed
+    plan; dense mode so unreached vertices carry exact 0.0. Oracle is
+    the unrolled per-seed recurrence (teleport + dangling mass to the
+    seed) over the closed-form edge CTE."""
+    _prep(spark)
+    from jgtextrank_spark.algos.pagerank import pagerank_multi_seed
+    from jgtextrank_spark.weblinks import link_edges
+
+    out = pagerank_multi_seed(
+        link_edges(_synth_pages(spark, sf_dir)),
+        PPR_SEEDS,
+        max_iter=PPR_ITERS,
+        dense=True,
+    )
+    return out.select(
+        "seed", "vertex", F.round("score", 6).alias("score")
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registrable-domain corpus rollup over synthesized hosts
     covering every suffix branch (co.uk second-level, plain TLD,
@@ -1629,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "domain_stats": q_domain_stats,
+        "ppr_multi_seed": q_ppr_multi_seed,
         "betweenness_pages": q_betweenness_pages,
         "butterflies": q_butterflies,
         "wl_fingerprints": q_wl_fingerprints,
@@ -2254,6 +2284,64 @@ r{i} AS MATERIALIZED (
         "WITH "
         + ",".join(ctes)
         + f"\nSELECT v AS vertex, round(r, 6) AS score FROM r{iters}"
+    )
+
+
+def _ppr_multi_seed_sql(iters: int, edges_cte: str, seeds: list) -> str:
+    """Unrolled multi-seed personalized PageRank: per seed sd, teleport
+    AND dangling mass go to sd (personalization = {sd: 1}); grid stays
+    dense so unreached vertices carry exact 0.0 like the Spark dense
+    mode. Mirrors pagerank_multi_seed superstep-for-superstep."""
+    seed_values = ", ".join(f"('{s}')" for s in seeds)
+    ctes = [
+        edges_cte,
+        f"""
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+outdeg AS (SELECT src, sum(weight) AS s FROM edges GROUP BY src),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.s AS nw
+  FROM edges e JOIN outdeg o USING (src)
+),
+dang AS (
+  SELECT v FROM verts LEFT JOIN outdeg ON outdeg.src = verts.v
+  WHERE outdeg.src IS NULL
+),
+seeds(sd) AS (VALUES {seed_values}),
+grid AS (SELECT sd, v FROM seeds CROSS JOIN verts),
+r0 AS (
+  SELECT sd, v, CASE WHEN sd = v THEN 1.0 ELSE 0.0 END AS r FROM grid
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+r{i} AS MATERIALIZED (
+  SELECT g.sd, g.v,
+         0.85 * (coalesce(c.c, 0)
+                 + CASE WHEN g.v = g.sd THEN coalesce(dm.dm, 0)
+                   ELSE 0 END)
+         + CASE WHEN g.v = g.sd THEN 0.15 ELSE 0 END AS r
+  FROM grid g
+  LEFT JOIN (
+    SELECT p.sd, norm.dst, sum(norm.nw * p.r) AS c
+    FROM norm JOIN r{i - 1} p ON p.v = norm.src
+    GROUP BY p.sd, norm.dst
+  ) c ON c.sd = g.sd AND c.dst = g.v
+  LEFT JOIN (
+    SELECT p.sd, sum(p.r) AS dm
+    FROM r{i - 1} p JOIN dang ON dang.v = p.v GROUP BY p.sd
+  ) dm ON dm.sd = g.sd
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT sd AS seed, v AS vertex, round(r, 6) AS score"
+        + f" FROM r{iters}"
     )
 
 
@@ -3211,6 +3299,9 @@ SELECT url,
        CASE WHEN body = '' THEN 'a b c n'
             ELSE body || ' a b c n' END AS text
 FROM ct"""
+    d["ppr_multi_seed"] = _ppr_multi_seed_sql(
+        PPR_ITERS, _WEB_LINK_EDGES, PPR_SEEDS
+    )
     d["web_host_pagerank"] = _pagerank_sql_directed(
         PR_ITERS, _WEB_HOST_EDGES
     )

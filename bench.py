@@ -444,6 +444,33 @@ def bench_betweenness_sampled(
     }
 
 
+def bench_ppr_multi_seed(
+    spark: SparkSession, n_vertices: int = 200_000,
+    n_edges: int = 2_000_000, n_seeds: int = 32, iters: int = 10,
+) -> dict:
+    """32 concurrent personalized PageRanks on the 2M-edge power-law
+    digraph in ONE (seed, vertex)-keyed plan with the standard 1e-6
+    score truncation — the related-pages batch shape (S is the
+    throughput knob; plan count is independent of S)."""
+    from jgtextrank_spark.algos.pagerank import pagerank_multi_seed
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    seeds = [int(i * 997) % n_vertices for i in range(n_seeds)]
+    t0 = time.time()
+    out = pagerank_multi_seed(edges, seeds, max_iter=iters, min_score=1e-6)
+    touched = out.count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "vertices": n_vertices,
+        "seeds": n_seeds,
+        "iters": iters,
+        "state_rows": touched,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -596,6 +623,10 @@ def main() -> None:
     bw_detail = bench_betweenness_sampled(spark)
     queries["betweenness_k8_powerlaw_2m"] = bw_detail["wall_sec"]
 
+    # 32 concurrent personalized PageRanks on the same digraph
+    ppr_detail = bench_ppr_multi_seed(spark)
+    queries["ppr_32seed_powerlaw_2m"] = ppr_detail["wall_sec"]
+
     # corpus-wide paragraph dedup + robots politeness over the sf tables
     timed(
         "paragraph_dedup",
@@ -636,6 +667,7 @@ def main() -> None:
             "cc_incremental": cc_inc,
             "msf_powerlaw": msf_detail,
             "betweenness_sampled": bw_detail,
+            "ppr_multi_seed": ppr_detail,
         },
     }
     print(json.dumps(out))

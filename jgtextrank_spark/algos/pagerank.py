@@ -391,3 +391,134 @@ def spam_mass(
         "trust",
         ((F.col("pr") - F.col("trust")) / F.col("pr")).alias("spam_mass"),
     )
+
+
+def pagerank_multi_seed(
+    edges: DataFrame,
+    seeds,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    weight_col: str = "weight",
+    num_partitions: int | None = None,
+    dense: bool = False,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """S concurrent personalized PageRanks — one independent teleport
+    vector per seed — vectorized in a single ``(seed, vertex)``-keyed
+    state: ``(seed, vertex, score)``.
+
+    This is the "related pages" workhorse (per-seed PPR is the usual
+    SimRank stand-in at web scale): instead of S driver-looped solver
+    runs, all S power iterations share one plan — the same
+    multi-source-vectorization the betweenness module uses. nx
+    semantics per seed: teleport mass AND dangling mass go entirely to
+    the seed (personalization = {seed: 1}), so per-seed scores equal
+    ``nx.pagerank(D, personalization={s: 1})`` at convergence.
+
+    State stays SPARSE — a (seed, vertex) row exists only once the
+    vertex is reachable from the seed; unreached vertices hold exactly
+    0.0 forever (their teleport term is 0), so sparsity is lossless.
+    ``dense=True`` fills the full seeds x vertices grid with 0.0 (the
+    oracle-comparison mode).
+
+    ``min_score > 0`` truncates the state after every round (rows below
+    the threshold are dropped — the forward-push-style approximation
+    every web-scale PPR system uses): per-seed L1 error is bounded by
+    ``min_score * |dropped| * alpha/(1-alpha)`` and the state stops
+    scaling with the full reach. 0.0 (default) is exact — the
+    gate/parity mode.
+
+    Fixed ``max_iter`` supersteps (the gate/bench contract; convergence
+    at 0.85 is ~1e-7 by 60 rounds). Per-superstep: one contribution
+    aggregation keyed (seed, vertex), one tiny per-seed dangling
+    aggregate JOINED in-plan (never collected), lineage truncated every
+    round (each round reads the state twice, so an unmaterialized chain
+    would recompute exponentially). Scale: state is O(S * reach), shuffles
+    are keyed by (seed, vertex) — S is the throughput knob exactly as
+    in sampled betweenness."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(F.col(seeds.columns[0]).alias("s")).distinct()
+    else:
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds], ["s"]
+        ).distinct()
+    seed_df = seed_df.localCheckpoint(eager=True)
+
+    out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
+    adjn = (
+        edges.join(out_deg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col(weight_col) / F.col("out_w")).alias("prob"),
+        )
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dangling = verts.join(
+        out_deg.select(F.col("src").alias("vertex")), "vertex", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    state = seed_df.select(
+        "s", F.col("s").alias("vertex"), F.lit(1.0).alias("score")
+    ).repartition(num_partitions, "s", "vertex").localCheckpoint(eager=True)
+
+    for it in range(1, max_iter + 1):
+        # the state grows from S rows to O(S * reach): never let a
+        # stale size estimate broadcast it (the adjacency is the cached,
+        # partitioned side) — force a shuffled hash join
+        contrib = (
+            state.hint("shuffle_hash")
+            .join(adjn, state["vertex"] == adjn["src"])
+            .select(
+                "s",
+                F.col("dst").alias("vertex"),
+                (F.col("score") * F.col("prob") * F.lit(alpha)).alias(
+                    "score"
+                ),
+            )
+        )
+        dang = (
+            state.join(dangling, "vertex")
+            .groupBy("s")
+            .agg(F.sum("score").alias("dm"))
+        )
+        seed_term = seed_df.join(dang, "s", "left").select(
+            "s",
+            F.col("s").alias("vertex"),
+            (
+                F.lit(alpha) * F.coalesce(F.col("dm"), F.lit(0.0))
+                + F.lit(1.0 - alpha)
+            ).alias("score"),
+        )
+        state = (
+            contrib.unionByName(seed_term)
+            .groupBy("s", "vertex")
+            .agg(F.sum("score").alias("score"))
+        )
+        if min_score > 0.0:
+            state = state.filter(F.col("score") >= min_score)
+        # each round reads `state` TWICE (contrib + dangling agg): an
+        # unmaterialized chain would double per round — 2^k recompute
+        # between checkpoints — so truncate lineage EVERY round
+        state = state.localCheckpoint(eager=True)
+    adjn.unpersist()
+    out = state.select(F.col("s").alias("seed"), "vertex", "score")
+    if dense:
+        grid = seed_df.select(F.col("s").alias("seed")).crossJoin(verts)
+        out = grid.join(out, ["seed", "vertex"], "left").select(
+            "seed",
+            "vertex",
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    return out

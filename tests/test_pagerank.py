@@ -249,3 +249,74 @@ def test_warm_start_zero_mass_raises(spark):
     bad = spark.createDataFrame([("1", -1.0), ("2", 0.0)], ["id", "rank"])
     with pytest.raises(Exception):
         pagerank_result(_make_edges_df(spark, edges), init_scores=bad)
+
+
+def test_pagerank_multi_seed_vs_nx(spark):
+    """Each seed's slice of the vectorized multi-seed PPR (a) replays the
+    exact power-iteration recurrence (numpy mirror, same fixed 30
+    supersteps) to 1e-12, and (b) that recurrence's fixpoint matches
+    nx's converged personalized pagerank to 1e-9 — including dangling-mass return-to-seed and
+    exact-0.0 sparsity for unreachable vertices."""
+    import networkx as nx
+    import numpy as np
+    from oracle.nxparity import pagerank_nx
+
+    from jgtextrank_spark.algos.pagerank import pagerank_multi_seed
+
+    # digraph with a dangling vertex (4) and an unreachable island (8,9)
+    edges = [
+        ("0", "1", 1.0), ("1", "2", 2.0), ("2", "0", 1.0),
+        ("2", "3", 1.0), ("3", "4", 1.0), ("5", "0", 1.0),
+        ("8", "9", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    nodes = sorted({x for e in edges for x in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        A[idx[u], idx[v]] += w
+    outw = A.sum(1)
+    M = np.divide(A, outw[:, None], out=np.zeros_like(A),
+                  where=outw[:, None] > 0)
+    dang = outw == 0
+
+    def ppr_mirror(seed, iters, alpha=0.85):
+        p = np.zeros(n)
+        p[idx[seed]] = 1.0
+        x = p.copy()
+        for _ in range(iters):
+            dm = x[dang].sum()
+            x = alpha * (x @ M + dm * p) + (1 - alpha) * p
+        return x
+
+    seeds = ["0", "5"]
+    got = {}
+    rows = pagerank_multi_seed(df, seeds, max_iter=30, dense=True).collect()
+    for r in rows:
+        got[(r["seed"], r["vertex"])] = r["score"]
+    D = nx.DiGraph()
+    for u, v, w in edges:
+        D.add_edge(u, v, weight=w)
+    for s in seeds:
+        mirror = ppr_mirror(s, 30)
+        for v in nodes:
+            assert abs(got[(s, v)] - mirror[idx[v]]) <= 1e-12, (s, v)
+        # recurrence-vs-nx anchor at the FIXPOINT (numpy, 2000 iters —
+        # this graph's dangling cycle mixes at ~0.97/iter, so the
+        # 30-round iterate is exact-replayed above but not converged)
+        want = pagerank_nx(
+            D, personalization={s: 1.0}, max_iter=500, tol=1e-12
+        )
+        fix = ppr_mirror(s, 2000)
+        for v, pv in want.items():
+            assert abs(fix[idx[v]] - pv) <= 1e-9, (s, v, fix[idx[v]], pv)
+    # island vertices unreachable from both seeds: exactly 0.0
+    for s in seeds:
+        assert got[(s, "8")] == 0.0 and got[(s, "9")] == 0.0
+    # sparse mode omits exactly the 0.0 rows (reach saturates by round
+    # 5 on this graph; sparsity is iteration-independent)
+    sparse = pagerank_multi_seed(df, seeds, max_iter=5).collect()
+    assert {(r["seed"], r["vertex"]) for r in sparse} == {
+        k for k, v in got.items() if v > 0.0
+    }
