@@ -435,6 +435,34 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(_doc_edges(spark, sf_dir), max_iter=10)
 
 
+def q_conductance_hosts(spark, sf_dir):
+    """Per-community conductance (cut / min-side volume) of the HOST
+    partition of the synthesized page link graph — how self-contained
+    each host's link neighborhood is, the community-quality score any
+    partition (LPA output, host grouping, ...) plugs into. 7 host
+    communities; oracle recomputes the cut/volume algebra on the
+    closed-form edges with the host label derived independently from
+    the URL arithmetic."""
+    _prep(spark)
+    from jgtextrank_spark.algos.graphstats import conductance
+    from jgtextrank_spark.weblinks import host_of, link_edges
+
+    edges = link_edges(_synth_pages(spark, sf_dir))
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = verts.select("vertex", host_of(F.col("vertex")).alias("label"))
+    out = conductance(edges, labels)
+    return out.select(
+        "label",
+        F.round("cut_w", 6).alias("cut_w"),
+        F.round("vol_w", 6).alias("vol_w"),
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def q_label_propagation_encoded(spark, sf_dir):
     """Same spec as q_label_propagation through order-preserving
     dictionary encoding (LPA tie-breaks depend on label ORDER, so the
@@ -1599,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
+        "conductance_hosts": q_conductance_hosts,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
         "neighborhood_2": q_neighborhood_2,
@@ -2854,6 +2883,42 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
             n_probe=IVF_PROBE,
         ),
         "label_propagation": _lpa_sql(10),
+        # conductance of those LPA communities: the unrolled LPA replay
+        # nested as a subquery, cut/vol algebra mirrored (max-w dedup per
+        # undirected pair, self-loops out, min-side volume denominator)
+        # conductance of the host partition of the page graph: host
+        # label from the URL arithmetic, cut/vol algebra mirrored
+        # (max-w dedup per undirected pair, self-loops out, min-side
+        # volume denominator)
+        "conductance_hosts": f"""
+WITH {_WEB_LINK_EDGES},
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, max(weight) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+pair AS (
+  SELECT regexp_extract(a, '^https://([^/]+)', 1) AS ca,
+         regexp_extract(b, '^https://([^/]+)', 1) AS cb,
+         w
+  FROM und
+),
+mir AS (
+  SELECT ca AS cu, cb AS cv, w FROM pair
+  UNION ALL
+  SELECT cb AS cu, ca AS cv, w FROM pair
+),
+vol AS (SELECT cu AS label, sum(w) AS vol_w FROM mir GROUP BY cu),
+tot AS (SELECT sum(w) AS t FROM mir),
+cut AS (
+  SELECT cu AS label, sum(w) AS cut_w FROM mir WHERE cu <> cv GROUP BY cu
+)
+SELECT v.label, round(coalesce(c.cut_w, 0), 6) AS cut_w,
+       round(v.vol_w, 6) AS vol_w,
+       round(CASE WHEN least(v.vol_w, (SELECT t FROM tot) - v.vol_w) > 0
+             THEN coalesce(c.cut_w, 0)
+                  / least(v.vol_w, (SELECT t FROM tot) - v.vol_w)
+             ELSE 0.0 END, 6) AS conductance
+FROM vol v LEFT JOIN cut c USING (label)""",
         "embedding_near_dup": _emb_bucket_sql(
             threshold=0.35, bucket_dims=EMB_BUCKET_DIMS
         ),

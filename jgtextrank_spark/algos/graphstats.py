@@ -22,6 +22,7 @@ __all__ = [
     "reciprocity",
     "transitivity",
     "rich_club",
+    "conductance",
 ]
 
 
@@ -281,4 +282,78 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+    return out
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    weight_col: str | None = "weight",
+) -> DataFrame:
+    """Per-community conductance over the undirected graph:
+    ``(label, cut_w, vol_w, conductance)`` with
+
+        phi(C) = cut(C) / min(vol(C), vol(V \\ C))
+
+    — nx.algorithms.cuts.conductance semantics per community (cut =
+    weight of edges with exactly one endpoint in C, vol = sum of member
+    weighted degrees), the standard quality score for LPA / community
+    output (lower = better-separated). Same edge convention as
+    :func:`modularity`: undirected, self-loops out, max-weight dedup per
+    pair. Communities whose members all have degree 0 are absent (phi
+    undefined); a community covering the whole graph gets phi = 0.0.
+
+    Plan: one dedup aggregation, one label join per endpoint (labels are
+    vertex-partitioned; at web scale this is the big-table-to-big-table
+    hash join CC/LPA already do), then two partial-agg groupBys keyed by
+    label — no global window, no driver loop over communities."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    la = labels.select(F.col("vertex").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("vertex").alias("b"), F.col("label").alias("cb"))
+    lab = und.join(la, "a").join(lb, "b").persist()
+    mirror = lab.select(
+        F.col("ca").alias("cu"), F.col("cb").alias("cv"), "w"
+    ).unionByName(
+        lab.select(
+            F.col("cb").alias("cu"), F.col("ca").alias("cv"), "w"
+        )
+    )
+    vol = mirror.groupBy(F.col("cu").alias("label")).agg(
+        F.sum("w").alias("vol_w")
+    )
+    tot = float(
+        mirror.agg(F.sum("w").alias("t")).collect()[0]["t"] or 0.0
+    )
+    cut = (
+        mirror.filter(F.col("cu") != F.col("cv"))
+        .groupBy(F.col("cu").alias("label"))
+        .agg(F.sum("w").alias("cut_w"))
+    )
+    out = vol.join(cut, "label", "left").select(
+        "label",
+        F.coalesce("cut_w", F.lit(0.0)).alias("cut_w"),
+        "vol_w",
+        F.when(
+            F.least(F.col("vol_w"), F.lit(tot) - F.col("vol_w")) > 0,
+            F.coalesce("cut_w", F.lit(0.0))
+            / F.least(F.col("vol_w"), F.lit(tot) - F.col("vol_w")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conductance"),
+    )
+    lab.unpersist()
     return out

@@ -1545,3 +1545,52 @@ def test_betweenness_sampled_sources_exact_subset(spark):
     a = sorted(betweenness_sampled(df, k=5).collect())
     b = sorted(betweenness_sampled(df, k=5).collect())
     assert a == b
+
+
+def test_conductance_vs_nx(spark):
+    """Per-community cut / volume / conductance match nx.cut_size,
+    nx.volume and nx.conductance on a random weighted graph with a
+    3-way random partition (unweighted variant too)."""
+    from jgtextrank_spark.algos.graphstats import conductance
+
+    rng = random.Random(37)
+    edges = [
+        (u, v, float(rng.randint(1, 5)))
+        for u, v in _rand_graph(seed=37, n=24, m=60, selfloops=False)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    G = nx.Graph()
+    for u, v, w in edges:
+        G.add_edge(str(u), str(v), weight=w)
+    part = {v: int(v) % 3 for v in G}
+    labels = spark.createDataFrame(
+        [(v, str(c)) for v, c in part.items()], "vertex string, label string"
+    )
+    got = {r["label"]: r for r in conductance(df, labels).collect()}
+    for c in ("0", "1", "2"):
+        S = {v for v, lab in part.items() if str(lab) == c}
+        assert got[c]["cut_w"] == pytest.approx(
+            nx.cut_size(G, S, weight="weight"), abs=1e-9
+        )
+        assert got[c]["vol_w"] == pytest.approx(
+            nx.volume(G, S, weight="weight"), abs=1e-9
+        )
+        assert got[c]["conductance"] == pytest.approx(
+            nx.conductance(G, S, weight="weight"), abs=1e-9
+        )
+    # unweighted: weight_col=None counts edges
+    got_u = {
+        r["label"]: r
+        for r in conductance(df, labels, weight_col=None).collect()
+    }
+    for c in ("0", "1", "2"):
+        S = {v for v, lab in part.items() if str(lab) == c}
+        assert got_u[c]["conductance"] == pytest.approx(
+            nx.conductance(G, S), abs=1e-9
+        )
+    # whole-graph community: phi defined as 0.0
+    one = spark.createDataFrame(
+        [(v, "all") for v in G], "vertex string, label string"
+    )
+    whole = conductance(df, one).collect()
+    assert len(whole) == 1 and whole[0]["conductance"] == 0.0
