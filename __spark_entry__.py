@@ -676,6 +676,27 @@ def q_ppr_multi_seed(spark, sf_dir):
     )
 
 
+WS_K = 40  # weighted-sample size for the gate row
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample (k rows, weight = token count
+    + 1) over documents — the weighted-without-replacement draw corpus
+    mixing uses. Deterministic md5 uniforms; oracle replays -ln(u)/w
+    ranking bit-for-bit (the k-boundary gap is O(1/n), far above libm
+    ulp differences)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.sampling import weighted_sample_k
+    from jgtextrank_spark.functions.textstats import tokens_expr
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.size(tokens_expr("text")).cast("double") + 1.0).alias("wt"),
+    )
+    out = weighted_sample_k(docs, "wt", WS_K)
+    return out.select("doc_id", "es_rank")
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registrable-domain corpus rollup over synthesized hosts
     covering every suffix branch (co.uk second-level, plain TLD,
@@ -1683,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "negative_sampling": q_negative_sampling,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "temperature_mixture": q_temperature_mixture,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
@@ -3852,6 +3874,22 @@ r AS (
   FROM u
 )
 SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= {QUOTA_N}"""
+    d["weighted_sample"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+           + 1.0 AS wt,
+         (('0x' || substring(md5('s0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+          / 281474976710656.0) AS uu
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY -ln(uu) / wt ASC, doc_id ASC)::BIGINT
+           AS es_rank
+  FROM w WHERE wt > 0
+)
+SELECT doc_id, es_rank FROM r WHERE es_rank <= {WS_K}"""
     d["temperature_mixture"] = f"""
 WITH counts AS (
   SELECT lang AS stratum, count(*)::BIGINT AS n_docs

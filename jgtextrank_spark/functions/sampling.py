@@ -26,6 +26,7 @@ __all__ = [
     "hash_sample",
     "stratified_quota_sample",
     "temperature_mixture_weights",
+    "weighted_sample_k",
 ]
 
 _SCALE = float(2**48)
@@ -124,3 +125,55 @@ def temperature_mixture_weights(
             round_to,
         ).alias("boost"),
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    keep the ``k`` rows maximizing ``u^(1/w)`` — equivalently the ones
+    with the LEAST-negative ``ln(u)/w`` — where ``u`` is the
+    deterministic md5 uniform of the key. Inclusion probability is
+    weight-proportional in the without-replacement sense, and the draw
+    is a pure function of (key, seed): retry-safe, backfill-stable,
+    engine-replayable like every sampler here.
+
+    Adds ``es_rank`` (1-based, 1 = most favored). Global mode ranks via
+    ascending ``-ln(u)/w`` with a key tiebreak — a TakeOrderedAndProject
+    top-k, never a single-partition sort; ``strata_col`` switches to a
+    per-stratum window (quota k per stratum).
+
+    Rows with weight <= 0 or NULL are excluded (A-ES is undefined
+    there); ties at the k-boundary are broken by the key, so the sample
+    is total-order deterministic."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(key_col, seed)
+    w = F.col(weight_col).cast("double")
+    neg_key = -(F.log(u) / w)  # ascending = best first (all values > 0)
+    base = df.filter(w > 0).withColumn("_nk", neg_key)
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("_nk").asc(), F.col(key_col).asc()
+        )
+        out = (
+            base.withColumn("es_rank", F.row_number().over(win).cast("long"))
+            .filter(F.col("es_rank") <= k)
+        )
+    else:
+        out = (
+            base.orderBy(F.col("_nk").asc(), F.col(key_col).asc())
+            .limit(k)
+            .withColumn(
+                "es_rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("_nk").asc(), F.col(key_col).asc())
+                ).cast("long"),
+            )
+        )
+    return out.drop("_nk")

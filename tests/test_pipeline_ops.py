@@ -829,3 +829,67 @@ def test_robots_filter_longest_match_and_wildcards(spark):
     assert got["https://a.org/dir/tie"] == (True, "allow")
     assert got["https://a.org"] == (True, None)
     assert got["https://z.org/anything"] == (True, None)
+
+
+def test_weighted_sample_k_exact_mirror(spark):
+    """A-ES weighted sampling replays exactly against a pure-python
+    hashlib mirror (same md5 uniforms, same -ln(u)/w order), global and
+    per-stratum; zero/negative weights excluded; heavier rows win more
+    often across seeds."""
+    import hashlib
+    import math
+
+    from jgtextrank_spark.functions.sampling import weighted_sample_k
+
+    rows = [(i, "s" + str(i % 2), float((i % 7) + (0 if i != 13 else -8)))
+            for i in range(40)]  # row 13 gets weight -2 -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def u_of(doc_id, seed="s0"):
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+        return int(h[:12], 16) / float(2 ** 48)
+
+    def mirror(k, strata=None):
+        cand = [
+            (doc_id, lang, -math.log(u_of(doc_id)) / w)
+            for doc_id, lang, w in rows
+            if w > 0
+        ]
+        out = {}
+        groups = (
+            {None: cand}
+            if strata is None
+            else {
+                g: [c for c in cand if c[1] == g]
+                for g in {c[1] for c in cand}
+            }
+        )
+        for g, items in groups.items():
+            items.sort(key=lambda c: (c[2], c[0]))
+            for rank, c in enumerate(items[:k], 1):
+                out[c[0]] = rank
+        return out
+
+    got = {
+        r["doc_id"]: r["es_rank"]
+        for r in weighted_sample_k(df, "w", 10).collect()
+    }
+    assert got == mirror(10)
+    got_s = {
+        r["doc_id"]: r["es_rank"]
+        for r in weighted_sample_k(df, "w", 5, strata_col="lang").collect()
+    }
+    assert got_s == mirror(5, strata="lang")
+    # weight-proportional tendency: weight-6 rows beat weight-1 rows
+    # in selection frequency across seeds
+    heavy, light = 0, 0
+    for seed_i in range(20):
+        sel = {
+            r["doc_id"]
+            for r in weighted_sample_k(
+                df, "w", 10, seed=f"t{seed_i}"
+            ).collect()
+        }
+        heavy += sum(1 for d, _, w in rows if w == 6.0 and d in sel)
+        light += sum(1 for d, _, w in rows if w == 1.0 and d in sel)
+    assert heavy > light
