@@ -47,9 +47,30 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "strongly_connected_components",
+    "strongly_connected_components_result",
     "scc_per_group",
     "bowtie_decomposition",
 ]
+
+
+def strongly_connected_components_result(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    **kw,
+) -> tuple[DataFrame, list[dict]]:
+    """Like :func:`strongly_connected_components`, plus the per-phase
+    metrics rows the other iterative solvers emit via the superstep
+    harness: one dict per event (trim pass, coloring convergence,
+    backward gather, extraction) with counts and round numbers. The
+    outer peel-extract loop mutates V and E jointly, so a durable
+    multi-table checkpoint/resume does not fit run_supersteps' single
+    state table — metrics close the observability half of that gap;
+    resume is documented out of scope (NOTES)."""
+    metrics: list[dict] = []
+    out = strongly_connected_components(
+        edges, vertices, _metrics=metrics, **kw
+    )
+    return out, metrics
 
 
 def strongly_connected_components(
@@ -58,6 +79,7 @@ def strongly_connected_components(
     max_outer: int = 100,
     max_inner: int = 500,
     num_partitions: int | None = None,
+    _metrics: list | None = None,
 ) -> DataFrame:
     """DataFrame ``(vertex, component)`` — component = min vertex id of
     the strongly connected component. ``edges`` are directed
@@ -73,6 +95,10 @@ def strongly_connected_components(
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
+
+    def _rec(**kw) -> None:
+        if _metrics is not None:
+            _metrics.append(kw)
 
     E = _ckpt(
         edges.select("src", "dst")
@@ -93,7 +119,7 @@ def strongly_connected_components(
         # ---- trim to fixpoint: no in-edges or no out-edges => singleton.
         # 3 jobs per peel level (count / E-ckpt / V-ckpt), edge set only
         # shrinks; eats the acyclic tendrils so coloring never sees them.
-        for _ in range(max_inner):
+        for _trim_pass in range(max_inner):
             both = (
                 E.select(F.col("src").alias("vertex"))
                 .distinct()
@@ -105,8 +131,11 @@ def strongly_connected_components(
                     "component", F.col("vertex")
                 )
             )
-            if trimmed.count() == 0:
+            n_trim = trimmed.count()
+            if n_trim == 0:
                 break
+            _rec(event="trim", outer=_outer, trim_pass=_trim_pass,
+                 trimmed=n_trim)
             assigned.append(trimmed)
             V = _ckpt(V.join(trimmed.select("vertex"), "vertex", "left_anti"))
             E = _ckpt(
@@ -125,7 +154,7 @@ def strongly_connected_components(
         # color(v) <- min(color(v), min over in-edges color(u),
         #                 color(color(v)))
         colors = _ckpt(V.withColumn("color", F.col("vertex")))
-        for _ in range(max_inner):
+        for _color_step in range(max_inner):
             cmin = (
                 E.join(
                     colors.select(
@@ -169,6 +198,8 @@ def strongly_connected_components(
             )
             colors = nxt.select("vertex", "color")
             if changed == 0:
+                _rec(event="coloring", outer=_outer,
+                     supersteps=_color_step + 1)
                 break
         else:
             raise RuntimeError(
@@ -193,7 +224,7 @@ def strongly_connected_components(
             colors.filter(F.col("vertex") == F.col("color")).select("vertex")
         )
         frontier = reached
-        for _ in range(max_inner):
+        for _bwd_step in range(max_inner):
             newly = _ckpt(
                 Ec.join(
                     frontier.select(F.col("vertex").alias("dst")), "dst"
@@ -203,6 +234,7 @@ def strongly_connected_components(
                 .join(reached, "vertex", "left_anti")
             )
             if newly.count() == 0:
+                _rec(event="backward", outer=_outer, rounds=_bwd_step + 1)
                 break
             reached = _ckpt(reached.unionByName(newly))
             frontier = newly
@@ -219,8 +251,12 @@ def strongly_connected_components(
         )
 
         # ---- remove the extracted SCCs and iterate on the remainder
+        n_extracted = reached.count()
         V = _ckpt(V.join(reached, "vertex", "left_anti"))
-        if V.count() == 0:
+        n_left = V.count()
+        _rec(event="extract", outer=_outer, extracted=n_extracted,
+             remaining=n_left)
+        if n_left == 0:
             return _union_assigned(spark, assigned)
         E = _ckpt(
             E.join(V.select(F.col("vertex").alias("src")), "src").join(

@@ -1594,3 +1594,36 @@ def test_conductance_vs_nx(spark):
     )
     whole = conductance(df, one).collect()
     assert len(whole) == 1 and whole[0]["conductance"] == 0.0
+
+
+def test_scc_metrics_surface(spark):
+    """strongly_connected_components_result returns the same labels plus
+    per-phase metrics rows (trim / coloring / backward / extract) with
+    consistent counts."""
+    from jgtextrank_spark.algos.scc import (
+        strongly_connected_components,
+        strongly_connected_components_result,
+    )
+
+    # two cycles bridged by a path, plus a tendril
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+             (5, 6), (6, 7)]
+    df = _edges_df(spark, edges)
+    want = {
+        r["vertex"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    got_df, metrics = strongly_connected_components_result(df)
+    got = {r["vertex"]: r["component"] for r in got_df.collect()}
+    assert got == want
+    events = {m["event"] for m in metrics}
+    assert {"coloring", "backward", "extract"} <= events
+    trimmed = sum(m["trimmed"] for m in metrics if m["event"] == "trim")
+    extracted = sum(
+        m["extracted"] for m in metrics if m["event"] == "extract"
+    )
+    assert trimmed + extracted == len(want)
+    # every coloring/backward phase converged within its budget
+    assert all(
+        m["supersteps"] >= 1 for m in metrics if m["event"] == "coloring"
+    )
