@@ -697,6 +697,84 @@ def q_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "es_rank")
 
 
+def q_canonical_urls(spark, sf_dir):
+    """rel=canonical extraction over synthesized pages: even docs carry
+    rel-before-href, odd docs href-before-rel (root-relative target with
+    an &amp; entity), every 5th doc has none. Oracle reconstructs the
+    resolved canonical in closed form from the doc_id arithmetic."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import extract_canonical_urls
+
+    d = F.col("doc_id")
+    t1 = (d * 7 + 1) % 997
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/d/"), d.cast("string"), F.lit(".html"),
+    )
+    link = F.when(
+        d % 5 == 0, F.lit("<p>none</p>")
+    ).when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="/c/'),
+            t1.cast("string"),
+            F.lit('.html?a=1&amp;b=2"><p>x</p>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<link href='/c/"),
+            t1.cast("string"),
+            F.lit(".html?a=1&amp;b=2' rel='canonical'><p>x</p>"),
+        )
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(link, "utf-8").alias("html")
+    )
+    return extract_canonical_urls(pages)
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap <loc> extraction over synthesized XML: every 5th doc is a
+    <sitemapindex> (kind='sitemap'), the rest <urlset> entries with a
+    whitespace-padded loc and an &amp; entity. Oracle derives every row
+    in closed form."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import extract_sitemap_urls
+
+    d = F.col("doc_id")
+    t1 = (d * 7 + 1) % 997
+    origin = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".example.org")
+    )
+    sm_url = F.concat(
+        origin, F.lit("/sm/"), d.cast("string"), F.lit(".xml")
+    )
+    xml = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            origin,
+            F.lit("/sm/child"),
+            t1.cast("string"),
+            F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset><url><loc> "),
+            origin,
+            F.lit("/d/"),
+            t1.cast("string"),
+            F.lit(".html </loc></url><url><loc>"),
+            origin,
+            F.lit("/q?a=1&amp;b=2</loc></url></urlset>"),
+        )
+    )
+    sitemaps = _docs(spark, sf_dir).select(
+        sm_url.alias("url"), xml.alias("xml")
+    )
+    return extract_sitemap_urls(sitemaps)
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registrable-domain corpus rollup over synthesized hosts
     covering every suffix branch (co.uk second-level, plain TLD,
@@ -1709,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "domain_stats": q_domain_stats,
+        "canonical_urls": q_canonical_urls,
+        "sitemap_urls": q_sitemap_urls,
         "ppr_multi_seed": q_ppr_multi_seed,
         "betweenness_pages": q_betweenness_pages,
         "butterflies": q_butterflies,
@@ -3910,6 +3990,36 @@ FROM counts, t"""
     # closed-form link derivation (same as web_link_edges); crawled set =
     # the page urls themselves; host parsed with the SAME regexp as
     # weblinks.host_of
+    # canonical / sitemap extraction: expected rows in closed form
+    d["canonical_urls"] = """
+WITH b AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org' AS origin,
+         (doc_id * 7 + 1) % 997 AS t1
+  FROM documents
+)
+SELECT origin || '/d/' || doc_id::VARCHAR || '.html' AS url,
+       origin || '/c/' || t1::VARCHAR || '.html?a=1&b=2' AS canonical
+FROM b WHERE doc_id % 5 <> 0"""
+    d["sitemap_urls"] = """
+WITH b AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org' AS origin,
+         (doc_id * 7 + 1) % 997 AS t1
+  FROM documents
+),
+sm AS (SELECT *, origin || '/sm/' || doc_id::VARCHAR || '.xml' AS su FROM b)
+SELECT su AS sitemap_url, 0::BIGINT AS pos,
+       origin || '/sm/child' || t1::VARCHAR || '.xml' AS loc,
+       'sitemap' AS kind
+FROM sm WHERE doc_id % 5 = 0
+UNION ALL
+SELECT su, 0::BIGINT,
+       origin || '/d/' || t1::VARCHAR || '.html', 'url'
+FROM sm WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT su, 1::BIGINT, origin || '/q?a=1&b=2', 'url'
+FROM sm WHERE doc_id % 5 <> 0"""
     # per-domain rollup: closed-form domain per doc_id residue class
     d["domain_stats"] = """
 WITH u AS (

@@ -54,6 +54,8 @@ __all__ = [
     "edge_diff",
     "top_movers",
     "host_of",
+    "extract_canonical_urls",
+    "extract_sitemap_urls",
     "registrable_domain",
     "domain_stats",
     "MULTI_PART_SUFFIXES",
@@ -368,6 +370,14 @@ def idn_fold_host(url: Column) -> Column:
     return _fold(url)
 
 
+def _decode_entities(c: Column) -> Column:
+    """Decode the ubiquitous entities (shared _ENTITIES table — &amp;
+    last so &amp;lt; decodes to &lt;, not <)."""
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
 def host_of(col) -> Column:
     """Host component (SQL-replayable regexp, lowercased)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -544,4 +554,74 @@ def domain_stats(pages: DataFrame, text_col: str = "text") -> DataFrame:
         F.count_distinct("host").cast("long").alias("n_hosts"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
         F.round(F.avg("n_toks"), 6).alias("mean_doc_tokens"),
+    )
+
+
+# rel=canonical link element; two passes because attribute order varies
+# (rel-before-href and href-before-rel), same backreferenced-quote trick
+# as HREF_PATTERN. Values are entity-decoded like anchors.
+CANONICAL_PATTERN_REL_FIRST = (
+    r"""(?i)<link\s[^>]*rel\s*=\s*(["'])canonical\1[^>]*"""
+    r"""href\s*=\s*(["'])([^>]*?)\2"""
+)
+CANONICAL_PATTERN_HREF_FIRST = (
+    r"""(?i)<link\s[^>]*href\s*=\s*(["'])([^>]*?)\1[^>]*"""
+    r"""rel\s*=\s*(["'])canonical\3"""
+)
+
+
+def extract_canonical_urls(
+    pages: DataFrame, binary: bool = True
+) -> DataFrame:
+    """``(url, canonical)`` — the page's ``<link rel="canonical">``
+    target, resolved to an absolute URL against the page (the dedup
+    hint crawlers trust before any content hashing). Pages without a
+    canonical element are absent; a page with several keeps the
+    distinct resolved set (real crawls do contain conflicting ones —
+    downstream policy decides). Map-only JVM regex + the shared RFC
+    3986 resolver; no Python."""
+    html = _html_str(F.col("html"), binary)
+    targets = F.array_union(
+        F.regexp_extract_all(html, F.lit(CANONICAL_PATTERN_REL_FIRST), 3),
+        F.regexp_extract_all(html, F.lit(CANONICAL_PATTERN_HREF_FIRST), 2),
+    )
+    out = pages.select(
+        "url", F.explode(targets).alias("raw")
+    ).select(
+        "url",
+        resolve_href(F.col("url"), _decode_entities(F.col("raw"))).alias(
+            "canonical"
+        ),
+    )
+    return out.filter(F.col("canonical").isNotNull()).distinct()
+
+
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+) -> DataFrame:
+    """``(sitemap_url, loc, kind)`` from sitemap XML bodies (ISO
+    sitemaps.org protocol): ``kind`` = 'sitemap' for ``<sitemapindex>``
+    child locs (follow to more sitemaps) or 'url' for ``<urlset>``
+    entries (frontier candidates). ``<loc>`` values are trimmed and
+    entity-decoded; one posexplode per document, order preserved via
+    ``pos``. A full crawl pipeline chains this with robots_filter and
+    frontier_urls."""
+    xml = F.col(xml_col)
+    kind = F.when(
+        F.lower(xml).contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    locs = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
+    )
+    return sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        kind.alias("kind"),
+        F.posexplode(locs).alias("pos", "raw"),
+    ).select(
+        "sitemap_url",
+        F.col("pos").cast("long").alias("pos"),
+        _decode_entities(F.col("raw")).alias("loc"),
+        "kind",
     )

@@ -399,3 +399,63 @@ def test_registrable_domain_and_domain_stats(spark):
     assert stats["bbc.co.uk"]["mean_doc_tokens"] == 2.5
     assert stats["example.org"]["n_docs"] == 1
     assert stats["example.org"]["n_tokens"] == 1
+
+
+def test_extract_canonical_urls(spark):
+    """rel=canonical in either attribute order, relative targets
+    resolved against the page, entities decoded, pages without one
+    absent, duplicates collapsed."""
+    from jgtextrank_spark.weblinks import extract_canonical_urls
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/x/page",
+             b'<link rel="canonical" href="https://a.org/x/main">'),
+            ("https://a.org/y",
+             b"<link href='/canon' rel='canonical'><p>hi</p>"),
+            ("https://a.org/z",
+             b'<link rel="canonical" href="rel?a=1&amp;b=2">'
+             b'<link rel="canonical" href="rel?a=1&amp;b=2">'),
+            ("https://a.org/none", b"<p>no link</p>"),
+            ("https://a.org/style",
+             b'<link rel="stylesheet" href="/s.css">'),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["url"], r["canonical"])
+        for r in extract_canonical_urls(pages).collect()
+    }
+    assert got == {
+        ("https://a.org/x/page", "https://a.org/x/main"),
+        ("https://a.org/y", "https://a.org/canon"),
+        ("https://a.org/z", "https://a.org/rel?a=1&b=2"),
+    }
+
+
+def test_extract_sitemap_urls(spark):
+    """urlset vs sitemapindex kinds, loc trimming + entity decode,
+    position order preserved."""
+    from jgtextrank_spark.weblinks import extract_sitemap_urls
+
+    sm = spark.createDataFrame(
+        [
+            ("https://a.org/sitemap.xml",
+             "<?xml version='1.0'?><urlset><url><loc> https://a.org/1 "
+             "</loc></url><url><loc>https://a.org/2?x=1&amp;y=2</loc>"
+             "</url></urlset>"),
+            ("https://a.org/index.xml",
+             "<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc>"
+             "</sitemap><sitemap><LOC>https://a.org/s2.xml</LOC>"
+             "</sitemap></sitemapindex>"),
+        ],
+        "url string, xml string",
+    )
+    rows = extract_sitemap_urls(sm).collect()
+    got = {(r["sitemap_url"], r["pos"], r["loc"], r["kind"]) for r in rows}
+    assert got == {
+        ("https://a.org/sitemap.xml", 0, "https://a.org/1", "url"),
+        ("https://a.org/sitemap.xml", 1, "https://a.org/2?x=1&y=2", "url"),
+        ("https://a.org/index.xml", 0, "https://a.org/s1.xml", "sitemap"),
+        ("https://a.org/index.xml", 1, "https://a.org/s2.xml", "sitemap"),
+    }
