@@ -596,6 +596,19 @@ def q_web_link_edges(spark, sf_dir):
     return link_edges(_synth_pages(spark, sf_dir))
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """Greedy 2*(1+eps)-approximate densest subgraph (Bahmani et al.
+    threshold peel) of the simple undirected page link graph. Removal
+    and snapshot selection are exact integer arithmetic, so the oracle
+    unrolls the ENTIRE peel in SQL (14 rounds; the data empties in ~10,
+    post-empty rounds are no-ops)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.densest import densest_subgraph
+    from jgtextrank_spark.weblinks import link_edges
+
+    return densest_subgraph(link_edges(_synth_pages(spark, sf_dir)), eps=0.1)
+
+
 def q_link_prediction(spark, sf_dir):
     """CN / Jaccard / Adamic-Adar link prediction over the symmetrized
     synthesized page link graph (exact mode, no hub guard — the guard is
@@ -1735,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "web_link_edges": q_web_link_edges,
         "link_prediction": q_link_prediction,
+        "densest_subgraph": q_densest_subgraph,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
         "web_host_pagerank": q_web_host_pagerank,
@@ -2266,6 +2280,87 @@ s{t} AS (
         for t in range(1, steps + 1)
     ]
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _densest_sql(rounds: int) -> str:
+    """Unrolled greedy densest-subgraph peel over the page link graph.
+    Per round: per-vertex degree on the alive subgraph, scalar (n, 2m),
+    removal iff deg*n*10 <= 11*2m (the exact-integer form of
+    deg <= 2*(1+0.1)*rho with rho = m/n), snapshot = alive set.  The
+    best round is argmax density by exact rational cross-multiply
+    (earliest wins); post-empty rounds are no-ops, so over-unrolling is
+    exact."""
+    ctes = [
+        _WEB_LINK_EDGES,
+        """
+se AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT vertex FROM (
+    SELECT u AS vertex FROM se UNION ALL SELECT v AS vertex FROM se
+  )
+),
+e0 AS MATERIALIZED (SELECT u, v FROM se)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+d{i} AS MATERIALIZED (
+  SELECT a.vertex, coalesce(c.cnt, 0) AS deg
+  FROM v{i - 1} a LEFT JOIN (
+    SELECT vertex, count(*) AS cnt FROM (
+      SELECT u AS vertex FROM e{i - 1}
+      UNION ALL SELECT v AS vertex FROM e{i - 1}
+    ) GROUP BY vertex
+  ) c ON c.vertex = a.vertex
+),
+s{i} AS MATERIALIZED (
+  SELECT count(*)::HUGEINT AS n, coalesce(sum(deg), 0)::HUGEINT AS twom
+  FROM d{i}
+),
+rm{i} AS MATERIALIZED (
+  SELECT d.vertex FROM d{i} d, s{i} s
+  WHERE s.n > 0 AND d.deg::HUGEINT * s.n * 10 <= 11 * s.twom
+),
+v{i} AS MATERIALIZED (
+  SELECT d.vertex FROM d{i} d, s{i} s
+  WHERE s.n > 0 AND d.deg::HUGEINT * s.n * 10 > 11 * s.twom
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM e{i - 1} e JOIN v{i} a ON a.vertex = e.u
+  JOIN v{i} b ON b.vertex = e.v
+)"""
+        )
+    dens_rows = " UNION ALL ".join(
+        f"SELECT {i} AS r, twom, n FROM s{i} WHERE n > 0"
+        for i in range(1, rounds + 1)
+    )
+    peel_rows = " UNION ALL ".join(
+        f"SELECT vertex, {i} AS peel_round FROM rm{i}"
+        for i in range(1, rounds + 1)
+    )
+    ctes.append(
+        f"""
+dens AS MATERIALIZED ({dens_rows}),
+best AS MATERIALIZED (
+  SELECT r FROM dens d WHERE NOT EXISTS (
+    SELECT 1 FROM dens d2
+    WHERE d2.twom * d.n > d.twom * d2.n
+       OR (d2.twom * d.n = d.twom * d2.n AND d2.r < d.r)
+  )
+),
+peel AS MATERIALIZED ({peel_rows})"""
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + """
+SELECT p.vertex, p.peel_round, p.peel_round >= b.r AS in_densest
+FROM peel p, best b"""
+    )
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -3343,6 +3438,7 @@ FROM allv v
 LEFT JOIN hub h ON h.vertex = v.vertex
 LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
+    d["densest_subgraph"] = _densest_sql(14)
     d["random_walks"] = _walks_sql(WALK_STEPS, WALK_SEED)
     d["node2vec_walks"] = _n2v_sql(WALK_STEPS, N2V_SEED, N2V_P, N2V_Q)
     d["degree_distribution"] = f"""

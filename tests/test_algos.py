@@ -1627,3 +1627,101 @@ def test_scc_metrics_surface(spark):
     assert all(
         m["supersteps"] >= 1 for m in metrics if m["event"] == "coloring"
     )
+
+
+# ------------------------------------------------------------------ densest
+def _peel_mirror(edges, eps_num, eps_den):
+    """Pure-python replay of the greedy densest-subgraph peel: removal iff
+    deg*n*den <= num*two_m (exact ints), argmax density by rational
+    cross-multiply, earliest round wins."""
+    import itertools as _it
+
+    se = sorted(
+        {(min(str(u), str(v)), max(str(u), str(v))) for u, v in edges
+         if str(u) != str(v)}
+    )
+    alive = {v for e in se for v in e}
+    aedges = list(se)
+    peel, densities = {}, []
+    r = 0
+    while alive:
+        r += 1
+        deg = {v: 0 for v in alive}
+        for u, v in aedges:
+            deg[u] += 1
+            deg[v] += 1
+        n, two_m = len(alive), sum(deg.values())
+        densities.append((two_m, n))
+        rm = {v for v in alive if deg[v] * n * eps_den <= eps_num * two_m}
+        for v in rm:
+            peel[v] = r
+        alive -= rm
+        aedges = [(u, v) for u, v in aedges if u in alive and v in alive]
+    best, (bt, bn) = 1, densities[0] if densities else (0, 1)
+    for i, (t, nn) in enumerate(densities[1:], start=2):
+        if t * bn > bt * nn:
+            best, bt, bn = i, t, nn
+    return peel, best
+
+
+def test_densest_subgraph_exact_python_mirror(spark):
+    from fractions import Fraction
+
+    from jgtextrank_spark.algos.densest import densest_subgraph_result
+
+    edges = _rand_graph(seed=31, n=40, m=140)
+    res = densest_subgraph_result(_edges_df(spark, edges), eps=0.1)
+    got = {
+        r["vertex"]: (r["peel_round"], r["in_densest"])
+        for r in res.peel.collect()
+    }
+    frac = 1 + Fraction("0.1")
+    peel, best = _peel_mirror(edges, frac.numerator, frac.denominator)
+    assert res.best_round == best
+    assert got == {v: (r, r >= best) for v, r in peel.items()}
+
+
+def test_densest_subgraph_planted_clique(spark):
+    import itertools
+
+    from jgtextrank_spark.algos.densest import densest_subgraph_result
+
+    k6 = [(f"c{i}", f"c{j}") for i, j in itertools.combinations(range(6), 2)]
+    path = [("c0", "p0")] + [(f"p{i}", f"p{i + 1}") for i in range(5)]
+    res = densest_subgraph_result(_edges_df(spark, k6 + path), eps=0.1)
+    dense = sorted(
+        r["vertex"] for r in res.peel.collect() if r["in_densest"]
+    )
+    assert dense == [f"c{i}" for i in range(6)]
+    assert res.best_density == pytest.approx(2.5)
+
+
+@pytest.mark.parametrize("seed,n,m", [(3, 10, 20), (7, 10, 25), (9, 9, 16)])
+def test_densest_subgraph_approx_guarantee(spark, seed, n, m):
+    """best_density >= OPT / (2*(1+eps)) — check vs brute-force OPT."""
+    import itertools
+
+    from jgtextrank_spark.algos.densest import densest_subgraph_result
+
+    edges = _rand_graph(seed=seed, n=n, m=m, selfloops=False)
+    verts = sorted({str(v) for e in edges for v in e})
+    sedges = {(min(str(u), str(v)), max(str(u), str(v))) for u, v in edges}
+    opt = 0.0
+    for k in range(1, len(verts) + 1):
+        for sub in itertools.combinations(verts, k):
+            s = set(sub)
+            e = sum(1 for u, v in sedges if u in s and v in s)
+            opt = max(opt, e / k)
+    res = densest_subgraph_result(_edges_df(spark, edges), eps=0.1)
+    assert res.best_density >= opt / (2 * 1.1) - 1e-12
+    assert res.best_density <= opt + 1e-12
+
+
+def test_densest_subgraph_selfloops_and_empty(spark):
+    from jgtextrank_spark.algos.densest import densest_subgraph_result
+
+    # self-loop-only graph simplifies to empty: no rows, zero rounds
+    df = _edges_df(spark, [(1, 1), (2, 2)])
+    res = densest_subgraph_result(df)
+    assert res.peel.count() == 0 and res.rounds == 0
+    assert res.best_density == 0.0
