@@ -609,6 +609,32 @@ def q_densest_subgraph(spark, sf_dir):
     return densest_subgraph(link_edges(_synth_pages(spark, sf_dir)), eps=0.1)
 
 
+def q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set on the page link graph — per-round
+    md5 string-key local minima, so the oracle unrolls the ENTIRE run
+    (6 rounds; the data decides in 3, post-empty rounds are no-ops)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.mis import maximal_independent_set
+    from jgtextrank_spark.weblinks import link_edges
+
+    return maximal_independent_set(
+        link_edges(_synth_pages(spark, sf_dir)), seed="mis"
+    )
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Israeli-Itai maximal matching on the page link graph — edge keys
+    are md5-derived strings, min at both endpoints wins; oracle unrolls
+    the whole run in SQL."""
+    _prep(spark)
+    from jgtextrank_spark.algos.mis import maximal_matching
+    from jgtextrank_spark.weblinks import link_edges
+
+    return maximal_matching(
+        link_edges(_synth_pages(spark, sf_dir)), seed="matching"
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """CN / Jaccard / Adamic-Adar link prediction over the symmetrized
     synthesized page link graph (exact mode, no hub guard — the guard is
@@ -1749,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_edges": q_web_link_edges,
         "link_prediction": q_link_prediction,
         "densest_subgraph": q_densest_subgraph,
+        "luby_mis": q_luby_mis,
+        "maximal_matching": q_maximal_matching,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
         "web_host_pagerank": q_web_host_pagerank,
@@ -2280,6 +2308,110 @@ s{t} AS (
         for t in range(1, steps + 1)
     ]
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+_MIS_SIMPLE = _WEB_LINK_EDGES + """,
+se AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT vertex FROM (
+    SELECT u AS vertex FROM se UNION ALL SELECT v AS vertex FROM se
+  )
+),
+e0 AS MATERIALIZED (SELECT u, v FROM se)"""
+
+
+def _mis_sql(rounds: int, seed: str) -> str:
+    """Unrolled Luby MIS over the page link graph: per round, vertex key
+    = md5(seed:r:v)[:12] || v (fixed-length hash prefix => string min ==
+    (hash, id) tuple min), winners are strict local minima, winners +
+    their neighbors leave. Post-empty rounds are no-ops."""
+    ctes = [_MIS_SIMPLE]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+p{i} AS MATERIALIZED (
+  SELECT vertex,
+         substring(md5('{seed}:{i}:' || vertex), 1, 12) || vertex AS k
+  FROM v{i - 1}
+),
+mr{i} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e{i - 1}
+  UNION ALL SELECT v AS a, u AS b FROM e{i - 1}
+),
+nm{i} AS MATERIALIZED (
+  SELECT m.a, min(p.k) AS nb
+  FROM mr{i} m JOIN p{i} p ON p.vertex = m.b GROUP BY m.a
+),
+w{i} AS MATERIALIZED (
+  SELECT p.vertex FROM p{i} p LEFT JOIN nm{i} n ON n.a = p.vertex
+  WHERE n.nb IS NULL OR p.k < n.nb
+),
+nb{i} AS MATERIALIZED (
+  SELECT DISTINCT m.b AS vertex
+  FROM mr{i} m JOIN w{i} w ON w.vertex = m.a
+),
+v{i} AS MATERIALIZED (
+  SELECT vertex FROM v{i - 1} a
+  WHERE NOT EXISTS (SELECT 1 FROM w{i} w WHERE w.vertex = a.vertex)
+    AND NOT EXISTS (SELECT 1 FROM nb{i} n WHERE n.vertex = a.vertex)
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN v{i} x ON x.vertex = e.u JOIN v{i} y ON y.vertex = e.v
+)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT vertex, TRUE AS in_mis, {i} AS round FROM w{i}"
+        f" UNION ALL SELECT vertex, FALSE, {i} FROM nb{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + f"\nSELECT * FROM ({rows})"
+
+
+def _matching_sql(rounds: int, seed: str) -> str:
+    """Unrolled Israeli-Itai maximal matching over the page link graph:
+    per round, edge key = md5(seed:r:u>v)[:12] || u || '>' || v; an edge
+    is matched iff its key is the min among incident edges at BOTH
+    endpoints; matched vertices leave."""
+    ctes = [_MIS_SIMPLE]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+k{i} AS MATERIALIZED (
+  SELECT u, v,
+         substring(md5('{seed}:{i}:' || u || '>' || v), 1, 12)
+           || u || '>' || v AS k
+  FROM e{i - 1}
+),
+vm{i} AS MATERIALIZED (
+  SELECT x, min(k) AS mk FROM (
+    SELECT u AS x, k FROM k{i} UNION ALL SELECT v AS x, k FROM k{i}
+  ) GROUP BY x
+),
+sel{i} AS MATERIALIZED (
+  SELECT t.u, t.v
+  FROM k{i} t JOIN vm{i} a ON a.x = t.u AND a.mk = t.k
+  JOIN vm{i} b ON b.x = t.v AND b.mk = t.k
+),
+mv{i} AS MATERIALIZED (
+  SELECT DISTINCT vertex FROM (
+    SELECT u AS vertex FROM sel{i} UNION ALL SELECT v AS vertex FROM sel{i}
+  )
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM mv{i} m WHERE m.vertex = e.u)
+    AND NOT EXISTS (SELECT 1 FROM mv{i} m WHERE m.vertex = e.v)
+)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT u, v, {i} AS round FROM sel{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + f"\nSELECT * FROM ({rows})"
 
 
 def _densest_sql(rounds: int) -> str:
@@ -3439,6 +3571,8 @@ LEFT JOIN hub h ON h.vertex = v.vertex
 LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
     d["densest_subgraph"] = _densest_sql(14)
+    d["luby_mis"] = _mis_sql(6, "mis")
+    d["maximal_matching"] = _matching_sql(6, "matching")
     d["random_walks"] = _walks_sql(WALK_STEPS, WALK_SEED)
     d["node2vec_walks"] = _n2v_sql(WALK_STEPS, N2V_SEED, N2V_P, N2V_Q)
     d["degree_distribution"] = f"""

@@ -1725,3 +1725,105 @@ def test_densest_subgraph_selfloops_and_empty(spark):
     res = densest_subgraph_result(df)
     assert res.peel.count() == 0 and res.rounds == 0
     assert res.best_density == 0.0
+
+
+# ---------------------------------------------------------------- MIS/match
+def _mis_mirror(edges, seed="mis"):
+    import hashlib
+
+    se = {(min(str(u), str(v)), max(str(u), str(v))) for u, v in edges
+          if str(u) != str(v)}
+    alive = {v for e in se for v in e}
+    aedges = set(se)
+    decided = {}
+    r = 0
+    while alive:
+        r += 1
+        key = {
+            v: hashlib.md5(f"{seed}:{r}:{v}".encode()).hexdigest()[:12] + v
+            for v in alive
+        }
+        nbrs = {v: set() for v in alive}
+        for u, v in aedges:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        winners = {
+            v for v in alive
+            if all(key[v] < key[b] for b in nbrs[v])
+        }
+        removed = set(winners)
+        for w in winners:
+            removed |= nbrs[w]
+        for v in winners:
+            decided[v] = (True, r)
+        for v in removed - winners:
+            decided[v] = (False, r)
+        alive -= removed
+        aedges = {(u, v) for u, v in aedges if u in alive and v in alive}
+    return decided
+
+
+def test_mis_exact_python_mirror_and_properties(spark):
+    from jgtextrank_spark.algos.mis import maximal_independent_set
+
+    edges = _rand_graph(seed=17, n=40, m=120)
+    out = maximal_independent_set(_edges_df(spark, edges), seed="mis")
+    got = {r["vertex"]: (r["in_mis"], r["round"]) for r in out.collect()}
+    assert got == _mis_mirror(edges)
+
+    mis = {v for v, (m, _) in got.items() if m}
+    se = {(min(str(u), str(v)), max(str(u), str(v))) for u, v in edges
+          if str(u) != str(v)}
+    # independence
+    assert not any(u in mis and v in mis for u, v in se)
+    # maximality: every non-MIS vertex has a MIS neighbor
+    nbrs = {}
+    for u, v in se:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for v, (m, _) in got.items():
+        if not m:
+            assert nbrs.get(v, set()) & mis, v
+
+
+def test_maximal_matching_properties_and_mirror(spark):
+    import hashlib
+
+    from jgtextrank_spark.algos.mis import maximal_matching
+
+    edges = _rand_graph(seed=23, n=40, m=130)
+    out = maximal_matching(_edges_df(spark, edges), seed="matching")
+    got = {(r["u"], r["v"]): r["round"] for r in out.collect()}
+
+    # python mirror
+    se = {(min(str(u), str(v)), max(str(u), str(v))) for u, v in edges
+          if str(u) != str(v)}
+    aedges, want, r = set(se), {}, 0
+    while aedges:
+        r += 1
+        key = {
+            (u, v): hashlib.md5(
+                f"matching:{r}:{u}>{v}".encode()
+            ).hexdigest()[:12] + f"{u}>{v}"
+            for u, v in aedges
+        }
+        vmin = {}
+        for e in aedges:
+            for x in e:
+                if x not in vmin or key[e] < key[vmin[x]]:
+                    vmin[x] = e
+        sel = {e for e in aedges if vmin[e[0]] == e and vmin[e[1]] == e}
+        for e in sel:
+            want[e] = r
+        matched = {x for e in sel for x in e}
+        aedges = {e for e in aedges if e[0] not in matched
+                  and e[1] not in matched}
+    assert got == want
+
+    # matching: vertex-disjoint
+    seen = set()
+    for u, v in got:
+        assert u not in seen and v not in seen
+        seen |= {u, v}
+    # maximal: every simple edge touches a matched vertex
+    assert all(u in seen or v in seen for u, v in se)
