@@ -635,6 +635,20 @@ def q_maximal_matching(spark, sf_dir):
     )
 
 
+def q_landmark_distances(spark, sf_dir):
+    """Landmark distance oracle: 4 top-degree landmarks (ties by id),
+    all-landmark BFS in one keyed superstep loop over the undirected
+    page graph. Oracle re-derives the landmark pick and unrolls 22 BFS
+    rounds (the data settles in 19; extra rounds are no-ops)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.paths import landmark_distances
+    from jgtextrank_spark.weblinks import link_edges
+
+    return landmark_distances(
+        link_edges(_synth_pages(spark, sf_dir)), num_landmarks=4
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """CN / Jaccard / Adamic-Adar link prediction over the symmetrized
     synthesized page link graph (exact mode, no hub guard — the guard is
@@ -1776,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "densest_subgraph": q_densest_subgraph,
         "luby_mis": q_luby_mis,
+        "landmark_distances": q_landmark_distances,
         "maximal_matching": q_maximal_matching,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
@@ -2321,6 +2336,54 @@ v0 AS MATERIALIZED (
   )
 ),
 e0 AS MATERIALIZED (SELECT u, v FROM se)"""
+
+
+def _landmark_sql(rounds: int, k: int) -> str:
+    """Replay of paths.landmark_distances on the page graph: landmark
+    pick = top-k distinct-neighbor degree (ties vertex asc) on the
+    undirected simple mirror, then unrolled level-synchronous BFS.
+    First-reach-wins is monotone, so over-unrolling is exact."""
+    ctes = [
+        _WEB_LINK_EDGES,
+        f"""
+mr AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+    UNION ALL SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+  )
+),
+lm AS MATERIALIZED (
+  SELECT a AS vertex FROM (
+    SELECT a, count(*) AS deg FROM mr GROUP BY a
+  ) ORDER BY deg DESC, a ASC LIMIT {k}
+),
+s0 AS MATERIALIZED (
+  SELECT vertex AS landmark, vertex, 0 AS dist FROM lm
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""
+n{i} AS MATERIALIZED (
+  SELECT DISTINCT s.landmark, m.b AS vertex
+  FROM s{i - 1} s JOIN mr m ON m.a = s.vertex
+  WHERE s.dist = {i - 1}
+),
+s{i} AS MATERIALIZED (
+  SELECT landmark, vertex, dist FROM s{i - 1}
+  UNION ALL
+  SELECT n.landmark, n.vertex, {i} AS dist FROM n{i} n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{i - 1} x
+    WHERE x.landmark = n.landmark AND x.vertex = n.vertex
+  )
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT landmark, vertex, dist FROM s{rounds}"
+    )
 
 
 def _mis_sql(rounds: int, seed: str) -> str:
@@ -3572,6 +3635,7 @@ LEFT JOIN auth a ON a.vertex = v.vertex"""
     d["ktruss"] = _ktruss_sql(KTRUSS_K, 10)
     d["densest_subgraph"] = _densest_sql(14)
     d["luby_mis"] = _mis_sql(6, "mis")
+    d["landmark_distances"] = _landmark_sql(22, 4)
     d["maximal_matching"] = _matching_sql(6, "matching")
     d["random_walks"] = _walks_sql(WALK_STEPS, WALK_SEED)
     d["node2vec_walks"] = _n2v_sql(WALK_STEPS, N2V_SEED, N2V_P, N2V_Q)

@@ -34,6 +34,10 @@ __all__ = [
     "sssp",
     "sssp_result",
     "resolve_redirects",
+    "select_landmarks",
+    "landmark_distances",
+    "landmark_distances_result",
+    "estimate_distance",
 ]
 
 
@@ -358,3 +362,140 @@ def resolve_redirects(
     )
     nxt.unpersist()
     return out
+
+
+def select_landmarks(
+    edges: DataFrame, num_landmarks: int = 8, directed: bool = False
+) -> list:
+    """Deterministic landmark pick: the ``num_landmarks`` highest-degree
+    vertices (undirected simple degree by default, out-degree when
+    ``directed``), ties broken by vertex id ascending. High-degree
+    landmarks maximize BFS coverage per landmark on power-law web
+    graphs (Potamias et al., CIKM 2009)."""
+    adj = edges.select("src", "dst")
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    deg = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("vertex").asc())
+        .limit(num_landmarks)
+    )
+    return [r["vertex"] for r in deg.collect()]
+
+
+def landmark_distances_result(
+    edges: DataFrame,
+    landmarks=None,
+    num_landmarks: int = 8,
+    directed: bool = False,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """All-landmarks BFS in ONE keyed superstep loop.
+
+    The landmark distance oracle of web-scale distance estimation
+    (Potamias et al. 2009; the ANF/HyperBall complement when per-pair
+    estimates are needed): state is the SPARSE reached set
+    ``(landmark, vertex, dist)``; every superstep expands the previous
+    round's frontier for ALL landmarks with one join against the cached
+    adjacency and one anti-join against the settled set (first reach
+    wins — hop counts are unit, so BFS level order is optimal). k
+    landmarks cost one loop of diameter rounds, not k loops.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if landmarks is None:
+        landmarks = select_landmarks(edges, num_landmarks, directed)
+    if not landmarks:
+        raise ValueError("no landmarks (empty graph?)")
+
+    adj = edges.select("src", "dst")
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = (
+        adj.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+
+    init = spark.createDataFrame(
+        [(str(x), str(x), 0) for x in landmarks],
+        "landmark string, vertex string, dist int",
+    ).repartition(num_partitions, "vertex")
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        frontier = state.filter(F.col("dist") == it - 1).select(
+            "landmark", F.col("vertex").alias("src")
+        )
+        reached = (
+            adj.join(frontier, "src")
+            .select("landmark", F.col("dst").alias("vertex"))
+            .distinct()
+            .join(state, ["landmark", "vertex"], "anti")
+            .select("landmark", "vertex", F.lit(it).alias("dist"))
+        )
+        new_state = state.unionByName(reached).persist()
+        newly = new_state.filter(F.col("dist") == it).count()
+        return new_state, float(newly)
+
+    res = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iter=max_iter,
+        tolerance=0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        label="landmark_bfs",
+    )
+    adj.unpersist()
+    return res
+
+
+def landmark_distances(edges: DataFrame, **kw) -> DataFrame:
+    """(landmark, vertex, dist) — sparse: only reached pairs appear."""
+    return landmark_distances_result(edges, **kw).state
+
+
+def estimate_distance(
+    ld: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Triangle-inequality distance estimates from a landmark table.
+
+    ``pairs`` is (a, b); the estimate is ``min over landmarks l of
+    d(a,l) + d(l,b)`` — an upper bound on d(a,b), exact whenever some
+    shortest path passes a landmark (undirected tables serve both
+    directions; for directed graphs supply a table holding
+    landmark->vertex distances). Pairs with no common landmark (different
+    components) get NULL. One join per side + one aggregation; the
+    landmark table is k|V| rows, so the ``a`` side join broadcasts the
+    per-vertex landmark vector at k small."""
+    da = ld.select(
+        F.col("vertex").alias("a"),
+        F.col("landmark").alias("l"),
+        F.col("dist").alias("dist_a"),
+    )
+    db = ld.select(
+        F.col("vertex").alias("b"),
+        F.col("landmark").alias("l"),
+        F.col("dist").alias("dist_b"),
+    )
+    return (
+        pairs.join(da, "a", "left")
+        .join(db, ["b", "l"], "left")
+        .groupBy("a", "b")
+        .agg(F.min(F.col("dist_a") + F.col("dist_b")).alias("est_dist"))
+    )

@@ -197,3 +197,98 @@ def test_resolve_redirects_random_functional(spark):
         for r in resolve_redirects(df, max_hops=16).collect()
     }
     assert got == exp
+
+
+# ------------------------------------------------------------------ landmarks
+def test_landmark_distances_vs_nx(spark):
+    from jgtextrank_spark.algos.paths import (
+        landmark_distances,
+        select_landmarks,
+    )
+
+    edges = _rand_digraph(seed=5, n=40, m=90)
+    df = _edges_df(spark, edges)
+    lms = select_landmarks(df, num_landmarks=4)
+    G = nx.Graph()
+    G.add_edges_from((str(u), str(v)) for u, v in edges if u != v)
+    # deterministic pick: top degree, ties by id asc
+    want_lms = sorted(G.degree, key=lambda t: (-t[1], t[0]))[:4]
+    assert lms == [v for v, _ in want_lms]
+
+    got = {
+        (r["landmark"], r["vertex"]): r["dist"]
+        for r in landmark_distances(df, landmarks=lms).collect()
+    }
+    want = {
+        (l, v): d
+        for l in lms
+        for v, d in nx.single_source_shortest_path_length(G, l).items()
+    }
+    assert got == want
+
+
+def test_landmark_directed_and_resume(spark, tmp_path):
+    from jgtextrank_spark.algos.paths import (
+        landmark_distances,
+        landmark_distances_result,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "a")]
+    df = _edges_df(spark, edges)
+    got = {
+        (r["landmark"], r["vertex"]): r["dist"]
+        for r in landmark_distances(
+            df, landmarks=["a"], directed=True
+        ).collect()
+    }
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2,
+                   ("a", "d"): 3, ("a", "e"): 4}
+
+    # resume: interrupt after 2 supersteps, resume equals uninterrupted
+    ck = str(tmp_path / "lmck")
+    partial = landmark_distances_result(
+        df, landmarks=["a"], directed=True, max_iter=2,
+        checkpoint_every=2, checkpoint_dir=ck,
+    )
+    assert not partial.converged
+    resumed = landmark_distances_result(
+        df, landmarks=["a"], directed=True,
+        checkpoint_every=2, checkpoint_dir=ck, resume=True,
+    )
+    got2 = {
+        (r["landmark"], r["vertex"]): r["dist"]
+        for r in resumed.state.collect()
+    }
+    assert got2 == got
+
+
+def test_estimate_distance_triangle_bound(spark):
+    from jgtextrank_spark.algos.paths import (
+        estimate_distance,
+        landmark_distances,
+        select_landmarks,
+    )
+
+    edges = _rand_digraph(seed=9, n=30, m=60)
+    df = _edges_df(spark, edges)
+    lms = select_landmarks(df, num_landmarks=3)
+    ld = landmark_distances(df, landmarks=lms)
+    G = nx.Graph()
+    G.add_edges_from((str(u), str(v)) for u, v in edges if u != v)
+    verts = sorted(G.nodes)
+    pairs = [(verts[i], verts[-1 - i]) for i in range(8)]
+    pdf = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["est_dist"]
+        for r in estimate_distance(ld, pdf).collect()
+    }
+    sp = {l: nx.single_source_shortest_path_length(G, l) for l in lms}
+    for a, b in pairs:
+        want = min(
+            (sp[l][a] + sp[l][b] for l in lms if a in sp[l] and b in sp[l]),
+            default=None,
+        )
+        assert got[(a, b)] == want
+        if want is not None and nx.has_path(G, a, b):
+            # upper bound on the true distance
+            assert want >= nx.shortest_path_length(G, a, b)
