@@ -649,6 +649,34 @@ def q_landmark_distances(spark, sf_dir):
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection: the 7 original hosts plus two synthesized
+    mirror hosts that re-serve every doc_id % 3 == 0 body (split by
+    parity). Host-pair Jaccard over normalized content fingerprints;
+    closed-form oracle rebuilds the same host/fingerprint sets from the
+    doc_id arithmetic."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import mirror_host_pairs
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example.org/d/"), d.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        "text",
+    )
+    mirr = docs.filter(d % 3 == 0).select(
+        F.concat(
+            F.lit("https://m"), (d % 2).cast("string"),
+            F.lit(".mirror.net/"), d.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        "text",
+    )
+    return mirror_host_pairs(base.unionByName(mirr), threshold=0.02)
+
+
 def q_link_prediction(spark, sf_dir):
     """CN / Jaccard / Adamic-Adar link prediction over the symmetrized
     synthesized page link graph (exact mode, no hub guard — the guard is
@@ -1791,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "luby_mis": q_luby_mis,
         "landmark_distances": q_landmark_distances,
+        "mirror_hosts": q_mirror_hosts,
         "maximal_matching": q_maximal_matching,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
@@ -3200,6 +3229,33 @@ SELECT doc_id,
                 THEN alnum::DOUBLE / n_chars ELSE 0.0 END), 6) AS quality
 FROM s""",
         "fingerprint": f"SELECT doc_id, {fp_norm} AS fp FROM documents",
+        "mirror_hosts": f"""
+WITH pages AS (
+  SELECT 'h' || (doc_id % 7)::VARCHAR || '.example.org' AS host, text
+  FROM documents
+  UNION ALL
+  SELECT 'm' || (doc_id % 2)::VARCHAR || '.mirror.net' AS host, text
+  FROM documents WHERE doc_id % 3 = 0
+),
+hfp AS (SELECT DISTINCT host, {fp_norm} AS fp FROM pages),
+sizes AS (
+  SELECT host, count(*) AS n_fp FROM hfp GROUP BY host
+  HAVING count(*) >= 2
+),
+ok AS (SELECT h.host, h.fp FROM hfp h JOIN sizes s ON s.host = h.host),
+rare AS (SELECT fp FROM ok GROUP BY fp HAVING count(*) <= 1000),
+idx AS (SELECT o.host, o.fp FROM ok o JOIN rare r ON r.fp = o.fp),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS common
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, common,
+       round(common / (sa.n_fp + sb.n_fp - common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+WHERE round(common / (sa.n_fp + sb.n_fp - common)::DOUBLE, 6) >= 0.02""",
         "dedup_exact": f"""
 WITH fp AS (SELECT doc_id, {fp_norm} AS fp FROM documents)
 SELECT fp, min(doc_id) AS canonical_doc, count(*)::BIGINT AS n_docs

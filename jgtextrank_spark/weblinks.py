@@ -60,6 +60,7 @@ __all__ = [
     "domain_stats",
     "MULTI_PART_SUFFIXES",
     "host_edges",
+    "mirror_host_pairs",
     "html_to_text",
     "extract_page_text",
 ]
@@ -625,3 +626,83 @@ def extract_sitemap_urls(
         _decode_entities(F.col("raw")).alias("loc"),
         "kind",
     )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    min_pages: int = 2,
+    max_fp_hosts: int = 1000,
+) -> DataFrame:
+    """Mirror / scraper host detection: (host_a, host_b, common, jaccard)
+    for host pairs whose page-CONTENT fingerprint sets overlap with
+    Jaccard >= ``threshold`` (host_a < host_b).
+
+    The host-level twin of document near-dup: two hosts serving largely
+    the same page bodies under different URLs are one crawl target, and
+    training corpora want one copy. Fingerprints reuse the exact-dedup
+    normalization (``functions.textstats.fingerprint_expr``), so a
+    mirror that only differs in whitespace/punctuation still matches.
+
+    Scale shape (same as the n-gram Jaccard family): per-host DISTINCT
+    fingerprint sets (one aggregation), then an inverted-index self-join
+    keyed by fingerprint. ``max_fp_hosts`` drops fingerprints served by
+    huge numbers of hosts (parked-domain boilerplate, empty pages) — the
+    hot-key guard that keeps candidate pairs linear in index-entry
+    sizes; hosts with fewer than ``min_pages`` distinct pages are too
+    small to call mirrors and are dropped before the join.
+    """
+    from .functions.textstats import fingerprint_expr
+
+    hfp = (
+        pages.select(
+            host_of(url_col).alias("host"),
+            fingerprint_expr(text_col).alias("fp"),
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+        .persist()
+    )
+    sizes = (
+        hfp.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .filter(F.col("n_fp") >= min_pages)
+    )
+    ok = hfp.join(sizes, "host", "semi")
+    rare = (
+        ok.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("hf"))
+        .filter(F.col("hf") <= max_fp_hosts)
+        .select("fp")
+    )
+    idx = ok.join(rare, "fp", "semi")
+    inter = (
+        idx.select(F.col("host").alias("host_a"), "fp")
+        .join(idx.select(F.col("host").alias("host_b"), "fp"), "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n_fp").alias("na")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n_fp").alias("nb")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

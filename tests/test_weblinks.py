@@ -3,6 +3,7 @@ an end-to-end host-PageRank vs the nx oracle."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jgtextrank_spark.weblinks import (
@@ -459,3 +460,52 @@ def test_extract_sitemap_urls(spark):
         ("https://a.org/index.xml", 0, "https://a.org/s1.xml", "sitemap"),
         ("https://a.org/index.xml", 1, "https://a.org/s2.xml", "sitemap"),
     }
+
+
+def test_mirror_host_pairs(spark):
+    from jgtextrank_spark.weblinks import mirror_host_pairs
+
+    pages = spark.createDataFrame(
+        [
+            # a.org and b.org: perfect mirror (3 shared bodies, one with
+            # whitespace/punct drift the normalizer must absorb)
+            ("https://a.org/1", "Alpha body one."),
+            ("https://a.org/2", "Beta body two."),
+            ("https://a.org/3", "Gamma body three."),
+            ("https://b.org/x", "alpha  BODY one!!"),
+            ("https://b.org/y", "beta body two"),
+            ("https://b.org/z", "gamma body three"),
+            # c.org: partial overlap with a.org (1 of 3) -> jaccard 0.2
+            ("https://c.org/1", "Alpha body one."),
+            ("https://c.org/2", "totally different"),
+            ("https://c.org/3", "also different"),
+            # d.org: single page (below min_pages) sharing a body
+            ("https://d.org/only", "Alpha body one."),
+        ],
+        "url string, text string",
+    )
+    got = {
+        (r["host_a"], r["host_b"]): (r["common"], r["jaccard"])
+        for r in mirror_host_pairs(pages, threshold=0.5).collect()
+    }
+    assert got == {("a.org", "b.org"): (3, 1.0)}
+
+    # lower threshold surfaces the partial pair; d.org never appears
+    got2 = {
+        (r["host_a"], r["host_b"]): r["jaccard"]
+        for r in mirror_host_pairs(pages, threshold=0.1).collect()
+    }
+    assert set(got2) == {("a.org", "b.org"), ("a.org", "c.org"),
+                         ("b.org", "c.org")}
+    assert got2[("a.org", "c.org")] == pytest.approx(0.2)
+
+    # hot-fingerprint guard: a body on EVERY host is excluded from the
+    # index, so pairs sharing only boilerplate don't show up
+    boiler = spark.createDataFrame(
+        [(f"https://h{i}.org/p{j}", "same boilerplate" if j == 0
+          else f"unique {i} {j}")
+         for i in range(4) for j in range(2)],
+        "url string, text string",
+    )
+    assert mirror_host_pairs(boiler, threshold=0.01,
+                             max_fp_hosts=3).count() == 0
