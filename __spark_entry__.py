@@ -1209,6 +1209,50 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + word/sentence/syllable counts — map-only
+    column algebra, formula mirrored term-for-term in the oracle."""
+    _prep(spark)
+    from jgtextrank_spark.functions.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def q_word_entropy(spark, sf_dir):
+    """Unigram word entropy (bits) per doc — explode + two partial
+    aggregations; oracle replays the log2 algebra."""
+    _prep(spark)
+    from jgtextrank_spark.functions.textstats import word_entropy
+
+    return word_entropy(_docs(spark, sf_dir))
+
+
+def q_url_strip_tracking(spark, sf_dir):
+    """strip_tracking_params over URLs synthesized with four query-string
+    shapes from doc_id arithmetic; the oracle states the expected output
+    in CLOSED FORM (not by re-running the regex)."""
+    _prep(spark)
+    from jgtextrank_spark.weblinks import strip_tracking_params
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+    )
+    url = F.concat(
+        base,
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=x&q="), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("?q="), d.cast("string"), F.lit("&fbclid=zz")))
+        .when(d % 4 == 2, F.lit("?utm_campaign=c&utm_medium=m"))
+        .otherwise(F.lit("?a=1&b=2#f")),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        url.alias("url"),
+        strip_tracking_params(url).alias("clean_url"),
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition signals (curation.repetition_signals) over
     documents with deterministically injected duplicate lines (the raw
@@ -1820,6 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luby_mis": q_luby_mis,
         "landmark_distances": q_landmark_distances,
         "mirror_hosts": q_mirror_hosts,
+        "readability": q_readability,
+        "word_entropy": q_word_entropy,
+        "url_strip_tracking": q_url_strip_tracking,
         "maximal_matching": q_maximal_matching,
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
@@ -3229,6 +3276,54 @@ SELECT doc_id,
                 THEN alnum::DOUBLE / n_chars ELSE 0.0 END), 6) AS quality
 FROM s""",
         "fingerprint": f"SELECT doc_id, {fp_norm} AS fp FROM documents",
+        "readability": """
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+               - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+       END AS flesch
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)""",
+        "word_entropy": """
+WITH w AS (
+  SELECT doc_id, lower(t.x) AS w
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(x)
+),
+c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+e AS (
+  SELECT doc_id, sum(c)::DOUBLE AS n, sum(c::DOUBLE * log2(c)) AS clc
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(round(log2(e.n) - e.clc / e.n, 6), 0.0) AS entropy
+FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id""",
+        "url_strip_tracking": """
+SELECT doc_id,
+       base || CASE doc_id % 4
+         WHEN 0 THEN '?utm_source=x&q=' || doc_id::VARCHAR
+         WHEN 1 THEN '?q=' || doc_id::VARCHAR || '&fbclid=zz'
+         WHEN 2 THEN '?utm_campaign=c&utm_medium=m'
+         ELSE '?a=1&b=2#f' END AS url,
+       base || CASE doc_id % 4
+         WHEN 0 THEN '?q=' || doc_id::VARCHAR
+         WHEN 1 THEN '?q=' || doc_id::VARCHAR
+         WHEN 2 THEN ''
+         ELSE '?a=1&b=2#f' END AS clean_url
+FROM (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7)::VARCHAR || '.example.org/p/'
+           || doc_id::VARCHAR AS base
+  FROM documents
+)""",
         "mirror_hosts": f"""
 WITH pages AS (
   SELECT 'h' || (doc_id % 7)::VARCHAR || '.example.org' AS host, text

@@ -18,6 +18,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "readability",
+    "word_entropy",
     "fingerprint_expr",
     "EN_MARKERS",
 ]
@@ -122,3 +124,70 @@ def fingerprint_expr(col) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp). Stable across engines (md5 is ubiquitous)."""
     return df.select("doc_id", fingerprint_expr(text_col).alias("fp"))
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading-ease with the standard web-pipeline approximations —
+    sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    runs [aeiouy]+ (the classic heuristic, exact enough for corpus
+    filtering thresholds). Pure column algebra; NULL flesch for empty
+    docs."""
+    text = F.col(text_col)
+    w = F.size(tokens_expr(text_col))
+    s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+    )
+    sy = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    wd, sd, syd = (c.cast("double") for c in (w, s, sy))
+    flesch = F.when(
+        w > 0,
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (wd / sd)
+            - F.lit(84.6) * (syd / wd),
+            6,
+        ),
+    )
+    return df.select(
+        "doc_id",
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        sy.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, entropy): Shannon entropy (bits) of the lowercased
+    unigram distribution — the cheap gibberish/repetition signal
+    (entropy near 0 = one word repeated; high = diverse vocabulary).
+    Computed as log2(n) - sum(c*log2(c))/n from per-(doc, word) counts:
+    one explode + two partial-aggregating groupBys, no UDFs. Empty docs
+    get 0.0."""
+    words = df.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("w")
+    ).select("doc_id", F.lower("w").alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c").cast("double") * F.log2("c")).alias("clc"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(F.col("n").cast("double"))
+                - F.col("clc") / F.col("n").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select("doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy"))
+    )

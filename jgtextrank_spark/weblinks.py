@@ -61,6 +61,8 @@ __all__ = [
     "MULTI_PART_SUFFIXES",
     "host_edges",
     "mirror_host_pairs",
+    "strip_tracking_params",
+    "TRACKING_PARAM_RX",
     "html_to_text",
     "extract_page_text",
 ]
@@ -706,3 +708,36 @@ def mirror_host_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+# Tracking parameters stripped by strip_tracking_params: the common
+# click/campaign identifiers (Java-regex ∩ RE2 subset, shared with the
+# SQL oracle). utm_* covers source/medium/campaign/term/content/id.
+TRACKING_PARAM_RX = (
+    r"^(utm_[^=&]*|gclid|fbclid|msclkid|yclid|igshid|mc_eid|_ga)(=.*)?$"
+)
+
+
+def strip_tracking_params(
+    url: Column, pattern: str = TRACKING_PARAM_RX
+) -> Column:
+    """Remove tracking query parameters (utm_*, gclid, fbclid, ...) from
+    a URL column — pure JVM column algebra (split query on '&', filter
+    by the shared regex, rejoin). Two URLs differing only in campaign
+    identifiers collapse to one crawl/dedup key; the '?' disappears when
+    no parameters survive. Empty params from '&&' runs are dropped
+    (harmless normalization); the fragment is preserved untouched."""
+    u = url if isinstance(url, Column) else F.col(url)
+    pre = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+    frag = F.regexp_extract(u, r"(#.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.rlike(pattern)) & (p != F.lit("")),
+    )
+    newq = F.array_join(kept, "&")
+    return F.concat(
+        pre,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
+        frag,
+    )

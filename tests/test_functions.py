@@ -547,3 +547,56 @@ def test_fix_mojibake(spark):
     assert got[3] == (mixed, False)
     assert got[4] == ("", False)
     assert got[5] == ("caf\u00e9\u00a9x", False)
+
+
+# ----------------------------------------------------------- readability/H
+def test_readability_vs_python(spark):
+    import re
+
+    from jgtextrank_spark.functions.textstats import readability
+
+    texts = [
+        (0, "The cat sat. The dog ran! Did it?"),
+        (1, "word"),
+        (2, ""),
+        (3, "No terminal punctuation here at all"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in readability(df).collect()}
+    for doc_id, text in texts:
+        w = len([t for t in text.split(" ") if t])
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        sy = len(re.findall(r"[aeiouy]+", text.lower()))
+        g = got[doc_id]
+        assert (g["n_words"], g["n_sentences"], g["n_syllables"]) == (w, s, sy)
+        if w == 0:
+            assert g["flesch"] is None
+        else:
+            want = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+            assert g["flesch"] == pytest.approx(want, abs=1e-6)
+
+
+def test_word_entropy_vs_python(spark):
+    from collections import Counter
+
+    from jgtextrank_spark.functions.textstats import word_entropy
+
+    texts = [
+        (0, "a a a a"),              # entropy 0
+        (1, "a b c d"),              # entropy 2 bits
+        (2, "The the THE cat"),      # case-folded: {the:3, cat:1}
+        (3, ""),                     # empty -> 0.0
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy"] for r in word_entropy(df).collect()}
+    for doc_id, text in texts:
+        toks = [t.lower() for t in text.split(" ") if t]
+        if not toks:
+            want = 0.0
+        else:
+            n = len(toks)
+            want = -sum(
+                (c / n) * math.log2(c / n) for c in Counter(toks).values()
+            )
+        assert got[doc_id] == pytest.approx(want, abs=1e-6), doc_id
+    assert got[0] == 0.0 and got[1] == pytest.approx(2.0)

@@ -509,3 +509,30 @@ def test_mirror_host_pairs(spark):
     )
     assert mirror_host_pairs(boiler, threshold=0.01,
                              max_fp_hosts=3).count() == 0
+
+
+def test_strip_tracking_params(spark):
+    from jgtextrank_spark.weblinks import strip_tracking_params
+
+    cases = [
+        ("https://a.org/p?utm_source=x&q=1", "https://a.org/p?q=1"),
+        ("https://a.org/p?q=1&fbclid=zz", "https://a.org/p?q=1"),
+        ("https://a.org/p?utm_campaign=c&utm_medium=m", "https://a.org/p"),
+        ("https://a.org/p?a=1&b=2#frag", "https://a.org/p?a=1&b=2#frag"),
+        ("https://a.org/p?gclid=1#frag", "https://a.org/p#frag"),
+        ("https://a.org/p", "https://a.org/p"),
+        ("https://a.org/p?", "https://a.org/p"),
+        ("https://a.org/p?utm_source", "https://a.org/p"),
+        ("https://a.org/p?xutm_source=1", "https://a.org/p?xutm_source=1"),
+        ("https://a.org/p?a=1&&b=2", "https://a.org/p?a=1&b=2"),
+        # tracking-ish value in a kept param is untouched
+        ("https://a.org/p?next=utm_source%3Dx", "https://a.org/p?next=utm_source%3Dx"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["out"]
+        for r in df.select(
+            strip_tracking_params(F.col("url")).alias("out")
+        ).collect()
+    ]
+    assert got == [w for _, w in cases]
