@@ -42,6 +42,9 @@ deterministic, oracle-replayable.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,16 +64,34 @@ def strongly_connected_components_result(
     """Like :func:`strongly_connected_components`, plus the per-phase
     metrics rows the other iterative solvers emit via the superstep
     harness: one dict per event (trim pass, coloring convergence,
-    backward gather, extraction) with counts and round numbers. The
-    outer peel-extract loop mutates V and E jointly, so a durable
-    multi-table checkpoint/resume does not fit run_supersteps' single
-    state table — metrics close the observability half of that gap;
-    resume is documented out of scope (NOTES)."""
+    backward gather, extraction, checkpoint, resume) with counts and
+    round numbers. The outer peel-extract loop mutates V and E jointly —
+    that doesn't fit run_supersteps' single state table, so SCC has its
+    own MULTI-TABLE durable checkpoint (``checkpoint_dir=``): the
+    (V, E, assigned) triple is written per outer round with the meta
+    JSON last as the validity marker, and a rerun resumes from the
+    newest valid round."""
     metrics: list[dict] = []
     out = strongly_connected_components(
         edges, vertices, _metrics=metrics, **kw
     )
     return out, metrics
+
+
+def _find_scc_resume(checkpoint_dir: str):
+    """Newest outer-round checkpoint with a valid meta file, or None.
+    Meta is written LAST, so its presence marks all three tables
+    complete (same contract as supersteps._find_resume_point)."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in sorted(os.listdir(checkpoint_dir)):
+        meta_path = os.path.join(checkpoint_dir, name, "_scc_meta.json")
+        if name.startswith("scc_outer_") and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            best = (meta["outer"], os.path.join(checkpoint_dir, name), meta)
+    return best
 
 
 def strongly_connected_components(
@@ -79,12 +100,22 @@ def strongly_connected_components(
     max_outer: int = 100,
     max_inner: int = 500,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every_outer: int = 1,
+    resume: bool = True,
     _metrics: list | None = None,
 ) -> DataFrame:
     """DataFrame ``(vertex, component)`` — component = min vertex id of
     the strongly connected component. ``edges`` are directed
     ``(src, dst)`` rows (weights ignored, self-loops irrelevant);
     ``vertices`` (one column ``id``) may add isolated vertices.
+
+    With ``checkpoint_dir`` set, the outer peel-extract state — the
+    (remaining V, remaining E, assigned-so-far) TRIPLE — is durably
+    checkpointed every ``checkpoint_every_outer`` outer rounds (meta
+    JSON written last as the validity marker) and a rerun with
+    ``resume=True`` continues from the newest valid round instead of
+    recomputing extracted SCCs.
 
     Raises RuntimeError if a fixpoint loop exceeds its budget
     (``max_inner`` supersteps for coloring/BFS; ``max_outer``
@@ -115,7 +146,45 @@ def strongly_connected_components(
 
     assigned: list[DataFrame] = []
 
-    for _outer in range(max_outer):
+    start_outer = 0
+    if checkpoint_dir and resume:
+        found = _find_scc_resume(checkpoint_dir)
+        if found is not None:
+            start_outer, path, meta = found
+            V = _ckpt(spark.read.parquet(os.path.join(path, "v")))
+            E = _ckpt(
+                spark.read.parquet(os.path.join(path, "e")).repartition(
+                    num_partitions, "src"
+                )
+            )
+            assigned = [_ckpt(spark.read.parquet(os.path.join(path, "assigned")))]
+            _rec(
+                event="resume",
+                outer=start_outer,
+                remaining=meta.get("n_v"),
+                assigned=meta.get("n_assigned"),
+            )
+
+    def _write_checkpoint(outer: int) -> None:
+        path = os.path.join(checkpoint_dir, f"scc_outer_{outer:06d}")
+        V.write.mode("overwrite").parquet(os.path.join(path, "v"))
+        E.write.mode("overwrite").parquet(os.path.join(path, "e"))
+        acc = _union_assigned(spark, assigned)
+        acc.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
+        meta = {
+            "outer": outer,
+            "n_v": V.count(),
+            "n_assigned": acc.count(),
+            "partitions": num_partitions,
+        }
+        # meta last: its presence marks the three tables as complete
+        with open(os.path.join(path, "_scc_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        _rec(event="checkpoint", outer=outer, **{
+            k: v for k, v in meta.items() if k != "outer"
+        })
+
+    for _outer in range(start_outer, max_outer):
         # ---- trim to fixpoint: no in-edges or no out-edges => singleton.
         # 3 jobs per peel level (count / E-ckpt / V-ckpt), edge set only
         # shrinks; eats the acyclic tendrils so coloring never sees them.
@@ -263,6 +332,8 @@ def strongly_connected_components(
                 V.select(F.col("vertex").alias("dst")), "dst"
             ).select("src", "dst")
         )
+        if checkpoint_dir and (_outer + 1) % checkpoint_every_outer == 0:
+            _write_checkpoint(_outer + 1)
 
     raise RuntimeError(
         f"scc did not finish in {max_outer} outer rounds (deeply chained "

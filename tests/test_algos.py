@@ -1827,3 +1827,43 @@ def test_maximal_matching_properties_and_mirror(spark):
         seen |= {u, v}
     # maximal: every simple edge touches a matched vertex
     assert all(u in seen or v in seen for u, v in se)
+
+
+def test_scc_checkpoint_resume(spark, tmp_path):
+    from jgtextrank_spark.algos.scc import (
+        strongly_connected_components,
+        strongly_connected_components_result,
+    )
+
+    # three chained 2-cycles => three outer peel-extract rounds
+    edges = [("a1", "a2"), ("a2", "a1"), ("a2", "b1"),
+             ("b1", "b2"), ("b2", "b1"), ("b2", "c1"),
+             ("c1", "c2"), ("c2", "c1")]
+    df = _edges_df(spark, edges)
+    want = {
+        r["vertex"]: r["component"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert want == {"a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1",
+                    "c1": "c1", "c2": "c1"}
+
+    ck = str(tmp_path / "sccck")
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(
+            df, max_outer=1, checkpoint_dir=ck
+        )
+    import os
+    assert os.path.exists(
+        os.path.join(ck, "scc_outer_000001", "_scc_meta.json")
+    )
+
+    got_df, metrics = strongly_connected_components_result(
+        df, checkpoint_dir=ck, resume=True
+    )
+    got = {r["vertex"]: r["component"] for r in got_df.collect()}
+    assert got == want
+    ev = [m for m in metrics if m["event"] == "resume"]
+    assert ev and ev[0]["outer"] == 1 and ev[0]["assigned"] == 2
+    # resumed run never re-extracts the already-assigned SCC
+    extracts = [m for m in metrics if m["event"] == "extract"]
+    assert sum(m["extracted"] for m in extracts) == 4
