@@ -37,6 +37,8 @@ N2V_SEED = "n2v"  # node2vec gate: p/q powers of two keep the biased
 N2V_P = 0.5  # cumsum dyadic-exact, so the DuckDB replay is bit-equal
 N2V_Q = 4.0
 ANN_K = 5
+LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
+LOUVAIN_SEED = "gate-louvain"
 ANN_QUERIES = 20
 JACCARD_T = 0.2
 NGRAM_N = 3
@@ -433,6 +435,27 @@ def q_label_propagation(spark, sf_dir):
     from jgtextrank_spark.algos.labelprop import label_propagation
 
     return label_propagation(_doc_edges(spark, sf_dir), max_iter=10)
+
+
+def q_louvain(spark, sf_dir):
+    """Deterministic distributed Louvain local-move phase (Blondel et
+    al. 2008) on the documents token graph: 4 fixed synchronous rounds
+    of the exact integer-scaled modularity-gain argmax with md5-gated
+    vertex activity. The DuckDB oracle unrolls all 4 rounds as
+    MATERIALIZED CTEs — the same HUGEINT gain algebra, md5 parity gate
+    and (s DESC, c ASC) tie-break, so the replay is bit-exact (the
+    decision path contains no float compare). Multilevel contraction is
+    covered differentially in tests/test_algos.py (exact python mirror,
+    ring-of-cliques, modularity >= networkx louvain - 0.05)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.louvain import louvain_move_phase
+
+    comm, _rounds, _conv, _ms = louvain_move_phase(
+        _doc_edges(spark, sf_dir),
+        fixed_rounds=LOUVAIN_ROUNDS,
+        seed=LOUVAIN_SEED,
+    )
+    return comm.select("vertex", "community")
 
 
 def q_conductance_hosts(spark, sf_dir):
@@ -1851,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
+        "louvain": q_louvain,
         "conductance_hosts": q_conductance_hosts,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
@@ -2886,6 +2910,91 @@ l{i} AS MATERIALIZED (
     )
 
 
+def _louvain_sql(rounds: int, seed: str) -> str:
+    """Bit-exact replay of algos/louvain.py louvain_move_phase with
+    ``fixed_rounds=rounds``: undirected mirror + self-loop-aware vertex
+    strengths, md5-parity activity gate, integer-scaled modularity-gain
+    argmax in HUGEINT (mirrors Spark's decimal(38,0) — integral weights,
+    so both are exact), ties to the smallest community id, strict-
+    improvement moves only."""
+    ctes = [
+        _EDGES,
+        """
+mirror AS MATERIALIZED (
+  SELECT src AS a, dst AS b, weight AS w FROM edges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS a, src AS b, weight AS w FROM edges WHERE src <> dst
+),
+selfw AS (
+  SELECT src AS vertex, sum(weight) AS sw FROM edges
+  WHERE src = dst GROUP BY src
+),
+kv AS MATERIALIZED (
+  SELECT coalesce(n.vertex, s.vertex) AS vertex,
+         coalesce(n.kn, 0) + 2.0 * coalesce(s.sw, 0) AS k
+  FROM (SELECT a AS vertex, sum(w) AS kn FROM mirror GROUP BY a) n
+  FULL JOIN selfw s ON s.vertex = n.vertex
+),
+m2 AS (SELECT round(sum(k))::HUGEINT AS m2i FROM kv),
+c0 AS (SELECT vertex, vertex AS community FROM kv)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+vol{r} AS (
+  SELECT p.community, sum(kv.k) AS vol
+  FROM c{r - 1} p JOIN kv ON kv.vertex = p.vertex
+  GROUP BY p.community
+),
+active{r} AS MATERIALIZED (
+  SELECT p.vertex, p.community, kv.k
+  FROM c{r - 1} p JOIN kv ON kv.vertex = p.vertex
+  WHERE ('0x' || substring(md5('{seed}:{r}:' || p.vertex), 1, 2))::INT
+        % 2 = 0
+),
+cand{r} AS (
+  SELECT vertex, c, sum(kvc) AS kvc FROM (
+    SELECT m.a AS vertex, p.community AS c, m.w AS kvc
+    FROM mirror m
+    JOIN active{r} act ON act.vertex = m.a
+    JOIN c{r - 1} p ON p.vertex = m.b
+    UNION ALL
+    SELECT vertex, community AS c, 0.0 FROM active{r}
+  ) GROUP BY vertex, c
+),
+moves{r} AS (
+  SELECT vertex, c AS new_c FROM (
+    SELECT s.vertex, s.c, s.s,
+           max(CASE WHEN s.c = s.community THEN s.s END)
+             OVER (PARTITION BY s.vertex) AS cs,
+           row_number() OVER (PARTITION BY s.vertex
+                              ORDER BY s.s DESC, s.c ASC) AS rn
+    FROM (
+      SELECT cd.vertex, cd.c, a.community,
+             (SELECT m2i FROM m2) * round(cd.kvc)::HUGEINT
+             - round(a.k)::HUGEINT
+               * (round(v.vol)::HUGEINT
+                  - CASE WHEN cd.c = a.community
+                         THEN round(a.k)::HUGEINT
+                         ELSE 0::HUGEINT END) AS s
+      FROM cand{r} cd
+      JOIN active{r} a ON a.vertex = cd.vertex
+      JOIN vol{r} v ON v.community = cd.c
+    ) s
+  ) WHERE rn = 1 AND s > cs
+),
+c{r} AS MATERIALIZED (
+  SELECT p.vertex, coalesce(mv.new_c, p.community) AS community
+  FROM c{r - 1} p LEFT JOIN moves{r} mv ON mv.vertex = p.vertex
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\nSELECT vertex, community FROM c{rounds}"
+    )
+
+
 def _simhash_sql(max_hamming: int, bits: int = 48, block_bits: int = 12) -> str:
     """Bit-exact replay of functions/dedup.py simhash_near_dup_pairs:
     token hash = first 12 hex chars of md5 as a 48-bit int, frequency-
@@ -3426,6 +3535,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
             n_probe=IVF_PROBE,
         ),
         "label_propagation": _lpa_sql(10),
+        "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
         # conductance of those LPA communities: the unrolled LPA replay
         # nested as a subquery, cut/vol algebra mirrored (max-w dedup per
         # undirected pair, self-loops out, min-side volume denominator)

@@ -138,6 +138,34 @@ def bench_coreness_hindex(
     }
 
 
+def bench_louvain(
+    spark: SparkSession,
+    n_vertices: int = 200_000,
+    n_edges: int = 2_000_000,
+    rounds: int = 4,
+) -> dict:
+    """Louvain local-move phase (fixed rounds) on the 2M-edge power-law
+    graph: per-round cost is one neighbor-community aggregation + one
+    per-vertex window argmax + one label join-back — constant plan shape
+    per round (the single-window-pass move rule; see louvain.py)."""
+    from jgtextrank_spark.algos.louvain import louvain_move_phase
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    comm, it, _conv, ms = louvain_move_phase(edges, fixed_rounds=rounds)
+    n_comms = comm.select("community").distinct().count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "vertices": n_vertices,
+        "rounds": it,
+        "moves_per_round": [m["moved"] for m in ms],
+        "communities": n_comms,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_hyperball(
     spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000,
     lg_k: int = 8,
@@ -520,6 +548,10 @@ def main() -> None:
     hb = bench_hyperball(spark)
     queries["hyperball_powerlaw_2m"] = hb["wall_sec"]
 
+    # Louvain move phase on the same power-law scale
+    louv = bench_louvain(spark)
+    queries["louvain_powerlaw_2m"] = louv["wall_sec"]
+
     # engine queries over the sf tables
     timed(
         "pagerank_docs_20it",
@@ -662,6 +694,7 @@ def main() -> None:
             "cc_star_contraction": cc_contract,
             "coreness_hindex": kcore,
             "hyperball": hb,
+            "louvain": louv,
             "scc_distributed": scc_detail,
             "pagerank_warm_start": warm_detail,
             "cc_incremental": cc_inc,

@@ -1,0 +1,314 @@
+"""Deterministic distributed Louvain community detection.
+
+LPA (labelprop.py) gives cheap communities; modularity (graphstats.py)
+scores any partition; Louvain (Blondel et al. 2008) is the standard
+algorithm that OPTIMIZES modularity — the missing piece between them.
+Distributed Louvain implementations (Grappolo, Spark-Louvain) replace
+the sequential vertex sweep with synchronous rounds; this one is built
+so every round is **deterministic and exactly replayable in SQL**:
+
+* **Move rule in exact integer arithmetic.** With integral edge weights
+  (co-occurrence counts, link counts — our graphs), the modularity gain
+  comparison multiplies out to integers: moving v to community c wins
+  over staying iff ``s(c) > s(cur)`` where
+  ``s(c) = 2m * k_{v,c} - k_v * (vol(c) - [c = cur] * k_v)``
+  (the gain formula scaled by the positive constant 2m²; γ=1). No
+  float compare anywhere in the decision path — ties break to the
+  smallest community id. Computed over decimal(38,0)/HUGEINT, so no
+  overflow up to web scale.
+* **Hash-gated activity.** Synchronous best-move for ALL vertices can
+  oscillate (two adjacent vertices swapping forever). Each round only
+  vertices with md5(seed:round:v) even are allowed to move — the
+  standard distributed-Louvain symmetry breaker, deterministic here.
+  Strict-improvement moves plus random halving makes oscillation
+  vanishingly unlikely; ``converged`` reports whether a no-move round
+  was reached within ``max_rounds`` (``fixed_rounds`` forces an exact
+  round count for replay).
+* **Aggregation levels.** After a move phase, communities contract to
+  supervertices (internal edges become self-loops, which enter vertex
+  strength k_v but cancel out of the argmax) and the move phase reruns
+  on the coarse graph — the classic multilevel loop.
+
+Scale shape per round: one semi-join to the active set, one
+neighbor-community aggregation (partial aggs), one window argmax keyed
+by vertex, one scalar action (#moves). Community volumes are a tiny
+aggregate. Self-loops and weights handled exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["LouvainResult", "louvain_move_phase", "louvain"]
+
+_DEC = "decimal(38,0)"
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame          # (vertex, community)
+    levels: int
+    rounds: list[int]              # move rounds per level
+    converged: bool                # every level reached a no-move round
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _sym_parts(edges: DataFrame):
+    """(mirror, selfw, kv, m2): undirected neighbor rows (both
+    directions, parallel edges summed), self-loop weights, vertex
+    strengths k_v (self-loops count twice, nx convention), and the
+    scalar 2m = sum of strengths."""
+    e = edges.select(
+        "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("w")
+    )
+    nonself = e.filter(F.col("src") != F.col("dst"))
+    # canonical undirected sum, then mirrored — (u,v) and (v,u) inputs
+    # describe the same undirected edge
+    canon = nonself.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        "w",
+    ).groupBy("u", "v").agg(F.sum("w").alias("w"))
+    mirror = canon.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "w"
+    ).unionByName(
+        canon.select(F.col("v").alias("a"), F.col("u").alias("b"), "w")
+    )
+    selfw = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum("w").alias("sw"))
+    )
+    kv = (
+        mirror.groupBy(F.col("a").alias("vertex"))
+        .agg(F.sum("w").alias("kn"))
+        .join(selfw, "vertex", "outer")
+        .select(
+            "vertex",
+            (
+                F.coalesce("kn", F.lit(0.0))
+                + F.lit(2.0) * F.coalesce("sw", F.lit(0.0))
+            ).alias("k"),
+        )
+    )
+    return mirror, selfw, kv
+
+
+def louvain_move_phase(
+    edges: DataFrame,
+    init: DataFrame | None = None,
+    max_rounds: int = 30,
+    fixed_rounds: int | None = None,
+    seed: str = "louvain",
+    round_offset: int = 0,
+) -> tuple[DataFrame, int, bool, list[dict]]:
+    """One Louvain local-move phase: (assignment, rounds, converged,
+    metrics). ``init`` is an optional (vertex, community) start (default
+    singletons). ``fixed_rounds`` runs exactly that many rounds (for
+    bit-exact replay); otherwise stops at the first no-move round."""
+    mirror, _selfw, kv = _sym_parts(edges)
+    mirror = mirror.persist()
+    kv = kv.persist()
+    m2 = kv.agg(F.sum("k").alias("s")).collect()[0]["s"] or 0.0
+    if m2 <= 0:
+        verts = kv.select("vertex")
+        return (
+            verts.select("vertex", F.col("vertex").alias("community")),
+            0,
+            True,
+            [],
+        )
+    m2i = int(round(m2))
+
+    comm = (
+        init.select("vertex", "community")
+        if init is not None
+        else kv.select("vertex", F.col("vertex").alias("community"))
+    ).localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    converged = False
+    rounds = 0
+    for r in range(1 + round_offset, total + 1 + round_offset):
+        rounds = r - round_offset
+        state = comm.join(kv, "vertex")
+        vol = state.groupBy("community").agg(F.sum("k").alias("vol"))
+        active = state.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:{r}:"), F.col("vertex"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 0
+        ).select("vertex", "community", "k")
+
+        nbrc = (
+            mirror.join(
+                active.select(F.col("vertex").alias("a")), "a", "semi"
+            )
+            .join(
+                comm.select(
+                    F.col("vertex").alias("b"), F.col("community").alias("c")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("vertex"), "c")
+            .agg(F.sum("w").alias("kvc"))
+        )
+        # current community is always a candidate (kvc 0 if no internal edge)
+        cand = (
+            active.select("vertex", F.col("community").alias("c"))
+            .join(nbrc, ["vertex", "c"], "outer")
+            .select("vertex", "c", F.coalesce("kvc", F.lit(0.0)).alias("kvc"))
+        )
+        scored = (
+            cand.join(active.select("vertex", "community", "k"), "vertex")
+            .join(vol.select(F.col("community").alias("c"), "vol"), "c")
+            .select(
+                "vertex",
+                "community",
+                "c",
+                (
+                    F.lit(m2i).cast(_DEC)
+                    * F.round(F.col("kvc")).cast(_DEC)
+                    - F.round(F.col("k")).cast(_DEC)
+                    * (
+                        F.round(F.col("vol")).cast(_DEC)
+                        - F.when(
+                            F.col("c") == F.col("community"),
+                            F.round(F.col("k")),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .cast(_DEC)
+                    )
+                ).alias("s"),
+            )
+        )
+        # ONE window pass extracts both the argmax candidate and the
+        # current community's score — never self-join the scored frame
+        # (a best-row ⋈ current-row join re-reads `scored` twice per
+        # round; measured: per-round wall grew ~6x/round past round 8
+        # under AQE-off, the double-read trap from NOTES.md).
+        wv = Window.partitionBy("vertex")
+        wo = wv.orderBy(F.col("s").desc(), F.col("c").asc())
+        moves = (
+            scored.withColumn(
+                "cs",
+                F.max(
+                    F.when(F.col("c") == F.col("community"), F.col("s"))
+                ).over(wv),
+            )
+            .withColumn("rn", F.row_number().over(wo))
+            .filter((F.col("rn") == 1) & (F.col("s") > F.col("cs")))
+            .select("vertex", F.col("c").alias("new_c"))
+        )
+        new_comm = (
+            comm.join(moves, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_c", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_moved = (
+            new_comm.join(
+                comm.withColumnRenamed("community", "old"), "vertex"
+            )
+            .filter(F.col("community") != F.col("old"))
+            .count()
+        )
+        comm = new_comm
+        metrics.append({"event": "move_round", "round": r, "moved": n_moved})
+        if fixed_rounds is None and n_moved == 0:
+            converged = True
+            break
+    if fixed_rounds is not None:
+        converged = True  # replay mode: the contract is the round count
+    mirror.unpersist()
+    kv.unpersist()
+    return comm, rounds, converged, metrics
+
+
+def _contract(edges: DataFrame, comm: DataFrame) -> DataFrame:
+    """Contract communities to supervertices: (src, dst, weight) where
+    internal edges become self-loops. Exact weight sums."""
+    cs = comm.select(F.col("vertex").alias("src"), F.col("community").alias("cu"))
+    cd = comm.select(F.col("vertex").alias("dst"), F.col("community").alias("cv"))
+    return (
+        edges.select(
+            "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("w")
+        )
+        .join(cs, "src")
+        .join(cd, "dst")
+        .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def louvain(
+    edges: DataFrame,
+    levels: int = 2,
+    max_rounds: int = 30,
+    fixed_rounds: int | None = None,
+    seed: str = "louvain",
+) -> LouvainResult:
+    """Multilevel Louvain: move phase, contract, repeat ``levels`` times
+    (stops early when a level makes no merges). Returns the ORIGINAL
+    vertices' final communities. Integral edge weights required for the
+    exact-replay guarantee (arbitrary floats still work, but last-ulp
+    cross-engine determinism is no longer guaranteed)."""
+    mapping: DataFrame | None = None  # vertex -> current community
+    cur_edges = edges
+    all_metrics: list[dict] = []
+    rounds_per_level: list[int] = []
+    conv_all = True
+    lv = 0
+    for lv in range(1, levels + 1):
+        comm, rounds, conv, ms = louvain_move_phase(
+            cur_edges,
+            max_rounds=max_rounds,
+            fixed_rounds=fixed_rounds,
+            seed=f"{seed}:L{lv}",
+        )
+        rounds_per_level.append(rounds)
+        conv_all = conv_all and conv
+        for m in ms:
+            all_metrics.append({"level": lv, **m})
+        if mapping is None:
+            mapping = comm
+        else:
+            mapping = (
+                mapping.join(
+                    comm.select(
+                        F.col("vertex").alias("community"),
+                        F.col("community").alias("new_comm"),
+                    ),
+                    "community",
+                )
+                .select("vertex", F.col("new_comm").alias("community"))
+            )
+        mapping = mapping.localCheckpoint(eager=True)
+        n_comms = mapping.select("community").distinct().count()
+        n_verts = mapping.count()
+        all_metrics.append(
+            {"level": lv, "event": "contract", "communities": n_comms}
+        )
+        if lv == levels or n_comms == n_verts:
+            break
+        cur_edges = _contract(cur_edges, comm).localCheckpoint(eager=True)
+    return LouvainResult(
+        assignment=mapping,
+        levels=lv,
+        rounds=rounds_per_level,
+        converged=conv_all,
+        metrics=all_metrics,
+    )

@@ -1867,3 +1867,126 @@ def test_scc_checkpoint_resume(spark, tmp_path):
     # resumed run never re-extracts the already-assigned SCC
     extracts = [m for m in metrics if m["event"] == "extract"]
     assert sum(m["extracted"] for m in extracts) == 4
+
+
+# ---------------------------------------------------------------- louvain
+def _louvain_mirror(edges, fixed_rounds, seed="louvain"):
+    """Pure-python replay of one louvain_move_phase with fixed rounds:
+    identical integer-scaled gains, md5 activity gating, and (s desc,
+    c asc) argmax tie-break."""
+    import hashlib
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    selfw = defaultdict(float)
+    for u, v, wt in edges:
+        u, v = str(u), str(v)
+        if u == v:
+            selfw[u] += wt
+        else:
+            w[(min(u, v), max(u, v))] += wt
+    nbrs = defaultdict(dict)
+    for (u, v), wt in w.items():
+        nbrs[u][v] = wt
+        nbrs[v][u] = wt
+    verts = sorted(set(nbrs) | set(selfw))
+    k = {
+        x: sum(nbrs[x].values()) + 2.0 * selfw.get(x, 0.0) for x in verts
+    }
+    m2i = int(round(sum(k.values())))
+    comm = {x: x for x in verts}
+    for r in range(1, fixed_rounds + 1):
+        vol = defaultdict(float)
+        for x in verts:
+            vol[comm[x]] += k[x]
+        new = dict(comm)
+        for x in verts:
+            h = int(
+                hashlib.md5(f"{seed}:{r}:{x}".encode()).hexdigest()[:2], 16
+            )
+            if h % 2 != 0:
+                continue
+            kvc = defaultdict(float)
+            for b, wt in nbrs[x].items():
+                kvc[comm[b]] += wt
+            kvc.setdefault(comm[x], 0.0)
+            scores = {}
+            for c, kv_c in kvc.items():
+                volx = vol[c] - (k[x] if c == comm[x] else 0.0)
+                scores[c] = m2i * int(round(kv_c)) - int(round(k[x])) * int(
+                    round(volx)
+                )
+            best_c = min(scores, key=lambda c: (-scores[c], c))
+            if scores[best_c] > scores[comm[x]]:
+                new[x] = best_c
+        comm = new
+    return comm
+
+
+def test_louvain_exact_python_mirror(spark):
+    from jgtextrank_spark.algos.louvain import louvain_move_phase
+
+    rng = random.Random(41)
+    edges = []
+    for _ in range(140):
+        u, v = rng.randrange(35), rng.randrange(35)
+        edges.append((str(u), str(v), float(rng.randint(1, 3))))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    comm, rounds, conv, _ = louvain_move_phase(df, fixed_rounds=5)
+    got = {r["vertex"]: r["community"] for r in comm.collect()}
+    assert rounds == 5 and conv
+    assert got == _louvain_mirror(edges, 5)
+
+
+def test_louvain_ring_of_cliques(spark):
+    import itertools
+
+    from jgtextrank_spark.algos.louvain import louvain
+
+    edges = []
+    for c in range(4):
+        mem = [f"c{c}v{i}" for i in range(5)]
+        edges += [(a, b, 1.0) for a, b in itertools.combinations(mem, 2)]
+        edges.append((f"c{c}v0", f"c{(c + 1) % 4}v0", 1.0))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    res = louvain(df, levels=2)
+    assert res.converged
+    got = {r["vertex"]: r["community"] for r in res.assignment.collect()}
+    # each clique is one community, and the four are distinct
+    for c in range(4):
+        labs = {got[f"c{c}v{i}"] for i in range(5)}
+        assert len(labs) == 1, (c, labs)
+    assert len({got[f"c{c}v0"] for c in range(4)}) == 4
+
+
+def test_louvain_modularity_competitive_with_nx(spark):
+    from jgtextrank_spark.algos.louvain import louvain
+
+    # planted partition: 3 blocks of 10, dense inside, sparse across
+    rng = random.Random(7)
+    blocks = [[f"b{b}n{i}" for i in range(10)] for b in range(3)]
+    edges = []
+    for mem in blocks:
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                if rng.random() < 0.7:
+                    edges.append((mem[i], mem[j], 1.0))
+    allv = [v for mem in blocks for v in mem]
+    for _ in range(20):
+        u, v = rng.choice(allv), rng.choice(allv)
+        if u != v:
+            edges.append((u, v, 1.0))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    res = louvain(df, levels=3)
+    part = {}
+    for r in res.assignment.collect():
+        part.setdefault(r["community"], set()).add(r["vertex"])
+
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    q_ours = nx.community.modularity(G, list(part.values()))
+    q_nx = nx.community.modularity(
+        G, nx.community.louvain_communities(G, seed=1)
+    )
+    assert q_ours >= q_nx - 0.05, (q_ours, q_nx)
+    assert q_ours > 0.3
