@@ -486,6 +486,28 @@ def q_conductance_hosts(spark, sf_dir):
     )
 
 
+def q_refine_hosts(spark, sf_dir):
+    """Leiden-style connectivity refinement of the HOST partition of the
+    synthesized page link graph: each host community splits into its
+    link-connected pieces (Traag et al. 2019's guarantee — Louvain/LPA
+    can emit internally disconnected communities; refinement repairs
+    any partition). Refined id = min URL of the piece; pages with no
+    same-host link become singletons. Oracle: recursive-CTE closure over
+    the intra-host restriction of the closed-form edges."""
+    _prep(spark)
+    from jgtextrank_spark.algos.louvain import refine_partition
+    from jgtextrank_spark.weblinks import host_of, link_edges
+
+    edges = link_edges(_synth_pages(spark, sf_dir))
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = verts.select("vertex", host_of(F.col("vertex")).alias("label"))
+    return refine_partition(edges, labels)
+
+
 def q_label_propagation_encoded(spark, sf_dir):
     """Same spec as q_label_propagation through order-preserving
     dictionary encoding (LPA tie-breaks depend on label ORDER, so the
@@ -1875,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "refine_hosts": q_refine_hosts,
         "conductance_hosts": q_conductance_hosts,
         "label_propagation_encoded": q_label_propagation_encoded,
         "coreness": q_coreness,
@@ -3536,6 +3559,42 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         ),
         "label_propagation": _lpa_sql(10),
         "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
+        # connectivity refinement of the host partition: transitive
+        # closure restricted to intra-host edges, piece id = min member;
+        # singletons = vertices with no intra-host edge (NOTE the
+        # WITH RECURSIVE bare-UNION footgun: `adj` dedups via
+        # SELECT DISTINCT over UNION ALL)
+        "refine_hosts": f"""
+WITH RECURSIVE {_WEB_LINK_EDGES},
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+  )
+),
+lab AS (
+  SELECT v, regexp_extract(v, '^https://([^/]+)', 1) AS label FROM verts
+),
+adj AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT e.src, e.dst FROM edges e
+    JOIN lab a ON a.v = e.src
+    JOIN lab b ON b.v = e.dst
+    WHERE a.label = b.label AND e.src <> e.dst
+    UNION ALL
+    SELECT e.dst AS src, e.src AS dst FROM edges e
+    JOIN lab a ON a.v = e.src
+    JOIN lab b ON b.v = e.dst
+    WHERE a.label = b.label AND e.src <> e.dst
+  )
+),
+reach(v, lbl) AS (
+  SELECT src, src FROM adj
+  UNION
+  SELECT d.dst, r.lbl FROM reach r JOIN adj d ON d.src = r.v
+),
+cc AS (SELECT v, min(lbl) AS community FROM reach GROUP BY v)
+SELECT l.v AS vertex, coalesce(cc.community, l.v) AS community
+FROM lab l LEFT JOIN cc ON cc.v = l.v""",
         # conductance of those LPA communities: the unrolled LPA replay
         # nested as a subquery, cut/vol algebra mirrored (max-w dedup per
         # undirected pair, self-loops out, min-side volume denominator)

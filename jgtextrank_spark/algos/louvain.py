@@ -42,7 +42,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["LouvainResult", "louvain_move_phase", "louvain"]
+from ..supersteps import run_supersteps
+
+__all__ = [
+    "LouvainResult",
+    "louvain_move_phase",
+    "louvain",
+    "refine_partition",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -104,13 +111,27 @@ def louvain_move_phase(
     fixed_rounds: int | None = None,
     seed: str = "louvain",
     round_offset: int = 0,
+    checkpoint_every: int = 10,
+    checkpoint_dir: str | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, int, bool, list[dict]]:
     """One Louvain local-move phase: (assignment, rounds, converged,
     metrics). ``init`` is an optional (vertex, community) start (default
     singletons). ``fixed_rounds`` runs exactly that many rounds (for
-    bit-exact replay); otherwise stops at the first no-move round."""
+    bit-exact replay); otherwise stops at the first no-move round.
+
+    Runs on :func:`~jgtextrank_spark.supersteps.run_supersteps` (the
+    engine's iterative-solver harness: per-round lineage truncation,
+    durable checkpoint/resume via ``checkpoint_dir``, per-round metrics).
+    The state carries ``(vertex, community, k, moved)`` so the #moves
+    delta is ONE aggregate on the new state — no join back to the old
+    state (the double-read trap from NOTES.md: a superstep whose action
+    re-reads a derived frame grew ~4-6x slower PER ROUND under AQE-off,
+    measured 1s -> 178s by round 10 on a 30-vertex graph)."""
+    spark = edges.sparkSession
     mirror, _selfw, kv = _sym_parts(edges)
-    mirror = mirror.persist()
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mirror = mirror.repartition(num_partitions, "a").persist()
     kv = kv.persist()
     m2 = kv.agg(F.sum("k").alias("s")).collect()[0]["s"] or 0.0
     if m2 <= 0:
@@ -122,20 +143,23 @@ def louvain_move_phase(
             [],
         )
     m2i = int(round(m2))
+    n_verts = kv.count()
+    bcast = n_verts <= broadcast_threshold
 
-    comm = (
-        init.select("vertex", "community")
+    def _b(df):
+        # explicit broadcast while the state is small: under static
+        # planning (AQE off) a checkpointed state has no size estimate,
+        # so Catalyst would sort-merge every one of these tiny joins
+        return F.broadcast(df) if bcast else df
+
+    state0 = (
+        init.select("vertex", "community").join(kv, "vertex")
         if init is not None
-        else kv.select("vertex", F.col("vertex").alias("community"))
-    ).localCheckpoint(eager=True)
+        else kv.select("vertex", F.col("vertex").alias("community"), "k")
+    ).select("vertex", "community", "k", F.lit(0).alias("moved"))
 
-    metrics: list[dict] = []
-    total = fixed_rounds if fixed_rounds is not None else max_rounds
-    converged = False
-    rounds = 0
-    for r in range(1 + round_offset, total + 1 + round_offset):
-        rounds = r - round_offset
-        state = comm.join(kv, "vertex")
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        r = it + round_offset
         vol = state.groupBy("community").agg(F.sum("k").alias("vol"))
         active = state.filter(
             F.conv(
@@ -153,26 +177,32 @@ def louvain_move_phase(
 
         nbrc = (
             mirror.join(
-                active.select(F.col("vertex").alias("a")), "a", "semi"
+                _b(active.select(F.col("vertex").alias("a"))), "a", "semi"
             )
             .join(
-                comm.select(
-                    F.col("vertex").alias("b"), F.col("community").alias("c")
+                _b(
+                    state.select(
+                        F.col("vertex").alias("b"),
+                        F.col("community").alias("c"),
+                    )
                 ),
                 "b",
             )
             .groupBy(F.col("a").alias("vertex"), "c")
             .agg(F.sum("w").alias("kvc"))
         )
-        # current community is always a candidate (kvc 0 if no internal edge)
+        # current community is always a candidate (kvc 0 if no internal
+        # edge)
         cand = (
             active.select("vertex", F.col("community").alias("c"))
             .join(nbrc, ["vertex", "c"], "outer")
-            .select("vertex", "c", F.coalesce("kvc", F.lit(0.0)).alias("kvc"))
+            .select(
+                "vertex", "c", F.coalesce("kvc", F.lit(0.0)).alias("kvc")
+            )
         )
         scored = (
-            cand.join(active.select("vertex", "community", "k"), "vertex")
-            .join(vol.select(F.col("community").alias("c"), "vol"), "c")
+            cand.join(_b(active.select("vertex", "community", "k")), "vertex")
+            .join(_b(vol.select(F.col("community").alias("c"), "vol")), "c")
             .select(
                 "vertex",
                 "community",
@@ -194,10 +224,7 @@ def louvain_move_phase(
             )
         )
         # ONE window pass extracts both the argmax candidate and the
-        # current community's score — never self-join the scored frame
-        # (a best-row ⋈ current-row join re-reads `scored` twice per
-        # round; measured: per-round wall grew ~6x/round past round 8
-        # under AQE-off, the double-read trap from NOTES.md).
+        # current community's score — never self-join the scored frame.
         wv = Window.partitionBy("vertex")
         wo = wv.orderBy(F.col("s").desc(), F.col("c").asc())
         moves = (
@@ -211,31 +238,46 @@ def louvain_move_phase(
             .filter((F.col("rn") == 1) & (F.col("s") > F.col("cs")))
             .select("vertex", F.col("c").alias("new_c"))
         )
-        new_comm = (
-            comm.join(moves, "vertex", "left")
+        new_state = (
+            state.join(_b(moves), "vertex", "left")
             .select(
                 "vertex",
                 F.coalesce("new_c", "community").alias("community"),
+                "k",
+                F.col("new_c").isNotNull().cast("int").alias("moved"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        n_moved = (
-            new_comm.join(
-                comm.withColumnRenamed("community", "old"), "vertex"
-            )
-            .filter(F.col("community") != F.col("old"))
-            .count()
-        )
-        comm = new_comm
-        metrics.append({"event": "move_round", "round": r, "moved": n_moved})
-        if fixed_rounds is None and n_moved == 0:
-            converged = True
-            break
-    if fixed_rounds is not None:
-        converged = True  # replay mode: the contract is the round count
+        n_moved = new_state.agg(F.sum("moved").alias("m")).collect()[0]["m"]
+        return new_state, float(n_moved or 0)
+
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    res = run_supersteps(
+        spark,
+        state0,
+        step,
+        max_iter=total,
+        # replay mode must run EXACTLY fixed_rounds rounds: tolerance -1
+        # makes delta<=tolerance unreachable (delta >= 0)
+        tolerance=-1.0 if fixed_rounds is not None else 0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+        label=f"louvain:{seed}",
+    )
+    metrics = [
+        {
+            "event": "move_round",
+            "round": m["iteration"] + round_offset,
+            "moved": int(m["delta"]),
+        }
+        for m in res.metrics
+        if m["event"] in ("step", "checkpoint") and m["delta"] is not None
+    ]
+    converged = True if fixed_rounds is not None else res.converged
+    comm = res.state.select("vertex", "community")
     mirror.unpersist()
     kv.unpersist()
-    return comm, rounds, converged, metrics
+    return comm, res.iterations, converged, metrics
 
 
 def _contract(edges: DataFrame, comm: DataFrame) -> DataFrame:
@@ -254,12 +296,64 @@ def _contract(edges: DataFrame, comm: DataFrame) -> DataFrame:
     )
 
 
+def refine_partition(
+    edges: DataFrame,
+    labels: DataFrame,
+    algorithm: str = "hashmin",
+    **kwargs,
+) -> DataFrame:
+    """Leiden-style connectivity refinement of any partition: split each
+    community into its CONNECTED pieces (Traag, Waltman & van Eck 2019
+    showed Louvain/LPA can emit internally disconnected communities; the
+    guarantee Leiden adds is exactly that every community is connected).
+
+    ``labels`` is ``(vertex, label)`` (any partition: Louvain, LPA, host
+    grouping, ...). Returns ``(vertex, community)`` where ``community``
+    is the minimum vertex id of the piece — globally unique without any
+    cross-community coordination, since a vertex belongs to exactly one
+    piece. Vertices with no intra-community edge become singletons.
+
+    Scale shape: two hash joins tag edge endpoints with their labels
+    (map-side after one exchange each), the equality filter keeps only
+    intra-community edges, then one connected-components run
+    (``algorithm``/``kwargs`` forwarded to
+    :func:`~jgtextrank_spark.algos.components.connected_components` —
+    pass ``algorithm="star"`` at extreme edge counts) restricted to that
+    typically much smaller edge set."""
+    from .components import connected_components
+
+    a = labels.select(
+        F.col("vertex").alias("src"), F.col("label").alias("_ls")
+    )
+    b = labels.select(
+        F.col("vertex").alias("dst"), F.col("label").alias("_ld")
+    )
+    intra = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("_ls") == F.col("_ld"))
+        .select("src", "dst")
+    )
+    comps = connected_components(intra, algorithm=algorithm, **kwargs)
+    return (
+        labels.select("vertex")
+        .join(comps, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", "vertex").alias("community"),
+        )
+    )
+
+
 def louvain(
     edges: DataFrame,
     levels: int = 2,
     max_rounds: int = 30,
     fixed_rounds: int | None = None,
     seed: str = "louvain",
+    checkpoint_dir: str | None = None,
 ) -> LouvainResult:
     """Multilevel Louvain: move phase, contract, repeat ``levels`` times
     (stops early when a level makes no merges). Returns the ORIGINAL
@@ -278,6 +372,9 @@ def louvain(
             max_rounds=max_rounds,
             fixed_rounds=fixed_rounds,
             seed=f"{seed}:L{lv}",
+            checkpoint_dir=(
+                f"{checkpoint_dir}/level{lv}" if checkpoint_dir else None
+            ),
         )
         rounds_per_level.append(rounds)
         conv_all = conv_all and conv

@@ -1990,3 +1990,92 @@ def test_louvain_modularity_competitive_with_nx(spark):
     )
     assert q_ours >= q_nx - 0.05, (q_ours, q_nx)
     assert q_ours > 0.3
+
+
+# ------------------------------------------------------- refine_partition
+def test_refine_partition_splits_disconnected_community(spark):
+    from jgtextrank_spark.algos.louvain import refine_partition
+
+    # label L covers two disconnected pairs; label M is connected
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "d", 1.0), ("x", "y", 1.0)],
+        "src string, dst string, weight double",
+    )
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("d", "L"),
+         ("x", "M"), ("y", "M"), ("s", "M")],
+        "vertex string, label string",
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in refine_partition(edges, labels).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "c", "d": "c",
+        "x": "x", "y": "x", "s": "s",
+    }
+
+
+def test_refine_partition_nx_parity(spark):
+    from jgtextrank_spark.algos.louvain import louvain, refine_partition
+
+    rng = random.Random(11)
+    edges = []
+    for _ in range(150):
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v:
+            edges.append((f"v{u}", f"v{v}", 1.0))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    part = louvain(df, levels=2).assignment.withColumnRenamed(
+        "community", "label"
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in refine_partition(df, part, algorithm="star").collect()
+    }
+
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    lab = {r["vertex"]: r["label"] for r in part.collect()}
+    expected = {}
+    for label in set(lab.values()):
+        members = [v for v, l in lab.items() if l == label]
+        sub = G.subgraph(members)
+        for piece in nx.connected_components(sub):
+            m = min(piece)
+            for v in piece:
+                expected[v] = m
+    # isolated-in-community vertices are singletons on both sides
+    assert got == expected
+    # every refined community is connected and label-pure
+    for comm in set(got.values()):
+        members = [v for v, c in got.items() if c == comm]
+        assert len({lab[v] for v in members}) == 1
+        assert nx.is_connected(G.subgraph(members)) or len(members) == 1
+
+
+def test_louvain_checkpoint_resume(spark, tmp_path):
+    from jgtextrank_spark.algos.louvain import louvain_move_phase
+
+    rng = random.Random(5)
+    edges = []
+    for _ in range(120):
+        u, v = rng.randrange(30), rng.randrange(30)
+        if u != v:
+            edges.append((f"n{u}", f"n{v}", float(rng.randint(1, 2))))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+
+    full, _, _, _ = louvain_move_phase(df, fixed_rounds=5)
+    want = {r["vertex"]: r["community"] for r in full.collect()}
+
+    ck = str(tmp_path / "louv_ck")
+    louvain_move_phase(
+        df, fixed_rounds=2, checkpoint_every=2, checkpoint_dir=ck
+    )
+    comm, rounds, conv, ms = louvain_move_phase(
+        df, fixed_rounds=5, checkpoint_every=2, checkpoint_dir=ck
+    )
+    got = {r["vertex"]: r["community"] for r in comm.collect()}
+    assert got == want
+    # the resumed run replays rounds 3..5 only
+    assert [m["round"] for m in ms] == [3, 4, 5]
