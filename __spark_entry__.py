@@ -39,6 +39,8 @@ N2V_Q = 4.0
 ANN_K = 5
 LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
+PACK_CONTEXT = 512  # sequence-packing gate: context window (tokens)
+PACK_SHARDS = 16  # sequence-packing gate: md5 shards
 ANN_QUERIES = 20
 JACCARD_T = 0.2
 NGRAM_N = 3
@@ -1219,6 +1221,33 @@ def q_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence-packing plan over documents:
+    per md5-shard, docs laid end-to-end in doc_id order, token stream
+    sliced into PACK_CONTEXT-token windows. One hash exchange + a
+    per-shard window cumsum, no join, no global sort; oracle replays the
+    identical cumsum/integer-division algebra."""
+    _prep(spark)
+    from jgtextrank_spark.functions.packing import pack_concat_chunk
+
+    return pack_concat_chunk(
+        _docs(spark, sf_dir), context_len=PACK_CONTEXT, n_shards=PACK_SHARDS
+    )
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Greedy whole-document packing (first-fit in doc_id order per
+    md5-shard, oversized docs truncated to a full bin). Sequential
+    first-fit state runs as ONE Arrow applyInPandas group per shard;
+    the oracle replays it with a per-shard recursive CTE."""
+    _prep(spark)
+    from jgtextrank_spark.functions.packing import pack_greedy
+
+    return pack_greedy(
+        _docs(spark, sf_dir), context_len=PACK_CONTEXT, n_shards=PACK_SHARDS
+    )
+
+
 def q_token_count(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.textstats import token_count
@@ -1930,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "graph_stats_directed": q_graph_stats_directed,
         "rich_club": q_rich_club,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
@@ -3350,6 +3381,67 @@ verts AS (
 SELECT vv.v AS vertex, least(vv.v, coalesce(min(m.u), vv.v)) AS component
 FROM verts vv LEFT JOIN mutual m ON vv.v = m.v
 GROUP BY vv.v""",
+        # concat-and-chunk packing: identical shard hash, per-shard
+        # cumsum and integer-division chunk indices
+        "pack_chunks": f"""
+WITH tokn AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+           % {PACK_SHARDS} AS shard,
+         doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           AS end_off
+  FROM tokn
+)
+SELECT shard, doc_id, n_tokens,
+       end_off - n_tokens AS start_off,
+       end_off,
+       (end_off - n_tokens) // {PACK_CONTEXT} AS first_chunk,
+       greatest(end_off - 1, end_off - n_tokens) // {PACK_CONTEXT}
+         AS last_chunk
+FROM off""",
+        # greedy first-fit packing: per-shard linear recursion over the
+        # doc_id order carrying (bin_id, fill) state
+        "pack_greedy": f"""
+WITH RECURSIVE tokn AS (
+  SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+           % {PACK_SHARDS} AS shard,
+         doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM tokn
+),
+st(shard, rn, doc_id, n_tokens, bin_id, bin_off, fill_after) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT,
+         least(n_tokens, {PACK_CONTEXT})
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN p.fill_after + least(s.n_tokens, {PACK_CONTEXT})
+                   > {PACK_CONTEXT}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill_after + least(s.n_tokens, {PACK_CONTEXT})
+                   > {PACK_CONTEXT}
+              THEN 0 ELSE p.fill_after END,
+         CASE WHEN p.fill_after + least(s.n_tokens, {PACK_CONTEXT})
+                   > {PACK_CONTEXT}
+              THEN least(s.n_tokens, {PACK_CONTEXT})
+              ELSE p.fill_after + least(s.n_tokens, {PACK_CONTEXT}) END
+  FROM st p JOIN seq s ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_id, bin_off,
+       n_tokens > {PACK_CONTEXT} AS truncated
+FROM st""",
         "token_count": """
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT

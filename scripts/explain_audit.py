@@ -188,8 +188,11 @@ CHECKS = {
          and "ArrowEvalPython" not in p),
     ],
     "domain_stats": [
-        ("single aggregation exchange keyed by domain",
-         lambda p: p.count("Exchange") <= 2),
+        ("two-phase distinct aggregate only: the (domain, host) partial"
+         " exchange + the per-domain re-agg (count_distinct needs both;"
+         " each node prints twice in formatted output)",
+         lambda p: p.count("Exchange") <= 4
+         and "Exchange SinglePartition" not in p),
         ("no Python eval",
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
@@ -222,6 +225,24 @@ CHECKS = {
         ("JVM-side only, no Python eval",
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
+    ],
+    "pack_chunks": [
+        ("per-shard window, never a global ordering: no single-partition"
+         " exchange",
+         lambda p: "Exchange SinglePartition" not in p),
+        ("no join anywhere (pure shard-partitioned column algebra)",
+         lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "pack_greedy": [
+        ("exactly one Arrow group op (per-shard sequential first-fit;"
+         " the node prints twice in formatted output: tree + detail)",
+         lambda p: p.count("FlatMapGroupsInPandas") == 2),
+        ("no join, no global sort",
+         lambda p: "Join" not in p
+         and "Exchange SinglePartition" not in p),
     ],
     "betweenness_pages": [
         ("no cartesian product anywhere in the sweep",
@@ -259,7 +280,7 @@ def main():
         "stratified_sample", "node2vec_walks", "msf_forest",
         "cocitation", "paragraph_dedup", "robots_filter",
         "betweenness_pages", "ppr_multi_seed", "fix_mojibake",
-        "domain_stats",
+        "domain_stats", "pack_chunks", "pack_greedy",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)

@@ -600,3 +600,60 @@ def test_word_entropy_vs_python(spark):
             )
         assert got[doc_id] == pytest.approx(want, abs=1e-6), doc_id
     assert got[0] == 0.0 and got[1] == pytest.approx(2.0)
+
+
+# ----------------------------------------------------------------- packing
+def test_pack_concat_chunk_offsets_contiguous(spark):
+    from jgtextrank_spark.functions.packing import pack_concat_chunk
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_concat_chunk(docs, context_len=10, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_off"] == off
+            assert r["end_off"] == off + r["n_tokens"]
+            assert r["first_chunk"] == r["start_off"] // 10
+            assert r["last_chunk"] == max(r["end_off"] - 1, r["start_off"]) // 10
+            off = r["end_off"]
+
+
+def test_pack_greedy_first_fit_invariants(spark):
+    from jgtextrank_spark.functions.packing import pack_greedy
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(
+            [4, 9, 2, 15, 7, 1, 10, 10, 3, 5, 0, 8]
+        )],
+        "doc_id long, text string",
+    )
+    out = pack_greedy(docs, context_len=10, n_shards=2).collect()
+    assert len(out) == 12
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        bin_id, fill = 0, 0
+        for r in rows:
+            take = min(r["n_tokens"], 10)
+            if fill + take > 10 and r is not rows[0]:
+                bin_id, fill = bin_id + 1, 0
+            assert (r["bin_id"], r["bin_off"]) == (bin_id, fill), r
+            assert r["truncated"] == (r["n_tokens"] > 10)
+            fill += take
+        # every bin is within capacity
+        caps = {}
+        for r in rows:
+            caps[r["bin_id"]] = caps.get(r["bin_id"], 0) + min(
+                r["n_tokens"], 10
+            )
+        assert all(v <= 10 for v in caps.values())
