@@ -488,6 +488,19 @@ def q_conductance_hosts(spark, sf_dir):
     )
 
 
+def q_topo_layers(spark, sf_dir):
+    """Topological layering (Kahn peel / longest-path-from-source) of
+    the token co-occurrence DAG — _doc_edges is least/greatest-oriented,
+    hence acyclic. Oracle: recursive path enumeration from the sources
+    with max path length per vertex (identical semantics: Kahn layer ==
+    longest directed path ending at the vertex)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    res = topological_layers(_doc_edges(spark, sf_dir).select("src", "dst"))
+    return res.layers
+
+
 def q_refine_hosts(spark, sf_dir):
     """Leiden-style connectivity refinement of the HOST partition of the
     synthesized page link graph: each host community splits into its
@@ -1926,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "topo_layers": q_topo_layers,
         "refine_hosts": q_refine_hosts,
         "conductance_hosts": q_conductance_hosts,
         "label_propagation_encoded": q_label_propagation_encoded,
@@ -3656,6 +3670,22 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         # singletons = vertices with no intra-host edge (NOTE the
         # WITH RECURSIVE bare-UNION footgun: `adj` dedups via
         # SELECT DISTINCT over UNION ALL)
+        # Kahn layering of the token DAG: longest path from a source,
+        # enumerated recursively (bounded by DAG depth x vertices)
+        "topo_layers": f"""
+WITH RECURSIVE {_EDGES},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+  )
+),
+p(v, d) AS (
+  SELECT v, 0 FROM verts WHERE v NOT IN (SELECT dst FROM e)
+  UNION
+  SELECT e.dst, p.d + 1 FROM p JOIN e ON e.src = p.v
+)
+SELECT v AS vertex, max(d)::BIGINT AS layer FROM p GROUP BY v""",
         "refine_hosts": f"""
 WITH RECURSIVE {_WEB_LINK_EDGES},
 verts AS (

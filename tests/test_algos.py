@@ -2079,3 +2079,60 @@ def test_louvain_checkpoint_resume(spark, tmp_path):
     assert got == want
     # the resumed run replays rounds 3..5 only
     assert [m["round"] for m in ms] == [3, 4, 5]
+
+
+# ---------------------------------------------------------------- toposort
+def test_topological_layers_dag(spark):
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("x", "d")],
+        "src string, dst string",
+    )
+    res = topological_layers(edges)
+    got = {r["vertex"]: r["layer"] for r in res.layers.collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 2, "d": 3}
+    assert res.acyclic and res.depth == 4 and res.n_cyclic == 0
+
+
+def test_topological_layers_cycle_raises(spark):
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    with pytest.raises(ValueError, match="not a DAG"):
+        topological_layers(cyc)
+    res = topological_layers(cyc, allow_cycles=True)
+    got = {r["vertex"]: r["layer"] for r in res.layers.collect()}
+    assert got == {"a": None, "b": None, "c": None, "d": None}
+    assert not res.acyclic and res.n_cyclic == 4
+
+
+def test_topological_layers_random_dag_parity(spark):
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    rng = random.Random(23)
+    pairs = set()
+    for _ in range(120):
+        u, v = rng.randrange(30), rng.randrange(30)
+        if u != v:
+            pairs.add((f"n{min(u, v):02d}", f"n{max(u, v):02d}"))
+    edges = spark.createDataFrame(
+        sorted(pairs), "src string, dst string"
+    )
+    got = {
+        r["vertex"]: r["layer"]
+        for r in topological_layers(edges).layers.collect()
+    }
+
+    G = nx.DiGraph()
+    G.add_edges_from(pairs)
+    expected = {}
+    for v in nx.topological_sort(G):
+        preds = list(G.predecessors(v))
+        expected[v] = (
+            0 if not preds else 1 + max(expected[u] for u in preds)
+        )
+    assert got == expected
