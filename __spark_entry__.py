@@ -37,6 +37,7 @@ N2V_SEED = "n2v"  # node2vec gate: p/q powers of two keep the biased
 N2V_P = 0.5  # cumsum dyadic-exact, so the DuckDB replay is bit-equal
 N2V_Q = 4.0
 ANN_K = 5
+ONION_ROUNDS = 20  # onion gate: unrolled peel rounds (no-op past fixpoint)
 LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
 PACK_CONTEXT = 512  # sequence-packing gate: context window (tokens)
@@ -486,6 +487,20 @@ def q_conductance_hosts(spark, sf_dir):
         F.round("vol_w", 6).alias("vol_w"),
         F.round("conductance", 6).alias("conductance"),
     )
+
+
+def q_onion(spark, sf_dir):
+    """Onion decomposition (layered k-core peel, Hébert-Dufresne et al.
+    2016) of the token graph: (vertex, layer, core) matching
+    nx.onion_layers + nx.core_number exactly (differential-tested).
+    The oracle unrolls ONION_ROUNDS peel rounds as MATERIALIZED CTEs —
+    peeling is a monotone fixpoint, so unrolling past completion is a
+    no-op (the ktruss-oracle argument)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.onion import onion_decomposition
+
+    res = onion_decomposition(_doc_edges(spark, sf_dir).select("src", "dst"))
+    return res.state
 
 
 def q_topo_layers(spark, sf_dir):
@@ -1939,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "label_propagation": q_label_propagation,
         "louvain": q_louvain,
+        "onion": q_onion,
         "topo_layers": q_topo_layers,
         "refine_hosts": q_refine_hosts,
         "conductance_hosts": q_conductance_hosts,
@@ -2978,6 +2994,54 @@ l{i} AS MATERIALIZED (
     )
 
 
+def _onion_sql(rounds: int) -> str:
+    """Unrolled replay of algos/onion.py: per round, degrees within the
+    remaining vertex set, threshold = running max core (greatest of this
+    round's min degree and the previous threshold, nx semantics), peel
+    everything at or under it. Over-unrolled rounds are no-ops (empty
+    remainder => empty peel)."""
+    ctes = [
+        _EDGES,
+        """
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+  )
+),
+rem0 AS (SELECT DISTINCT src AS v FROM sym),
+k0 AS (SELECT 0::BIGINT AS c)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+deg{r} AS MATERIALIZED (
+  SELECT r1.v AS vertex, count(s2.v)::BIGINT AS deg
+  FROM rem{r - 1} r1
+  LEFT JOIN sym s ON s.src = r1.v
+  LEFT JOIN rem{r - 1} s2 ON s2.v = s.dst
+  GROUP BY r1.v
+),
+k{r} AS (
+  SELECT greatest(coalesce(min(deg), 0), (SELECT c FROM k{r - 1})) AS c
+  FROM deg{r}
+),
+asg{r} AS MATERIALIZED (
+  SELECT vertex, {r}::BIGINT AS layer, (SELECT c FROM k{r}) AS core
+  FROM deg{r} WHERE deg <= (SELECT c FROM k{r})
+),
+rem{r} AS MATERIALIZED (
+  SELECT v FROM rem{r - 1}
+  WHERE v NOT IN (SELECT vertex FROM asg{r})
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT vertex, layer, core FROM asg{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + union
+
+
 def _louvain_sql(rounds: int, seed: str) -> str:
     """Bit-exact replay of algos/louvain.py louvain_move_phase with
     ``fixed_rounds=rounds``: undirected mirror + self-loop-aware vertex
@@ -3672,6 +3736,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         # SELECT DISTINCT over UNION ALL)
         # Kahn layering of the token DAG: longest path from a source,
         # enumerated recursively (bounded by DAG depth x vertices)
+        "onion": _onion_sql(ONION_ROUNDS),
         "topo_layers": f"""
 WITH RECURSIVE {_EDGES},
 e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),

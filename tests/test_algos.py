@@ -2136,3 +2136,54 @@ def test_topological_layers_random_dag_parity(spark):
             0 if not preds else 1 + max(expected[u] for u in preds)
         )
     assert got == expected
+
+
+# ------------------------------------------------------------------ onion
+def test_onion_decomposition_nx_parity(spark):
+    from jgtextrank_spark.algos.onion import onion_decomposition
+
+    for seed, n, m in [(3, 30, 130), (9, 25, 60)]:
+        rng = random.Random(seed)
+        pairs = set()
+        for _ in range(m):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                pairs.add((f"n{min(u, v)}", f"n{max(u, v)}"))
+        edges = spark.createDataFrame(sorted(pairs), "src string, dst string")
+        res = onion_decomposition(edges)
+        got = {r["vertex"]: (r["layer"], r["core"]) for r in res.state.collect()}
+        G = nx.Graph()
+        G.add_edges_from(pairs)
+        onion = nx.onion_layers(G)
+        core = nx.core_number(G)
+        assert got == {v: (onion[v], core[v]) for v in G}
+        assert res.converged
+        assert res.layers == max(onion.values())
+
+
+def test_onion_star_and_clique(spark):
+    from jgtextrank_spark.algos.onion import onion_decomposition
+
+    # star: leaves are layer 1 core 1; center peels next (layer 2, core 1)
+    star = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(6)], "src string, dst string"
+    )
+    got = {
+        r["vertex"]: (r["layer"], r["core"])
+        for r in onion_decomposition(star).state.collect()
+    }
+    assert got["c"] == (2, 1)
+    assert all(got[f"l{i}"] == (1, 1) for i in range(6))
+
+    # clique K5: everything is one layer at core 4
+    import itertools
+
+    k5 = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations("abcde", 2)],
+        "src string, dst string",
+    )
+    got = {
+        r["vertex"]: (r["layer"], r["core"])
+        for r in onion_decomposition(k5).state.collect()
+    }
+    assert got == {v: (1, 4) for v in "abcde"}
