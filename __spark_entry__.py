@@ -40,6 +40,7 @@ ANN_K = 5
 ONION_ROUNDS = 20  # onion gate: unrolled peel rounds (no-op past fixpoint)
 LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
+FH_FEATURES = 4096  # feature-hash gate: vector width
 PACK_CONTEXT = 512  # sequence-packing gate: context window (tokens)
 PACK_SHARDS = 16  # sequence-packing gate: md5 shards
 ANN_QUERIES = 20
@@ -1249,6 +1250,18 @@ def q_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+def q_feature_hash(spark, sf_dir):
+    """Signed hashing-trick n-gram featurizer (HashingVectorizer / VW
+    scheme): sparse (doc_id, idx, value) with md5 bucket + independent
+    md5 sign — a fixed-width vector space with no vocabulary build, the
+    way corpus-scale quality classifiers featurize. Oracle replays the
+    bucket/sign algebra gram-for-gram (unigrams + adjacent bigrams)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.search import feature_hash_vectors
+
+    return feature_hash_vectors(_docs(spark, sf_dir), n_features=FH_FEATURES)
+
+
 def q_pack_chunks(spark, sf_dir):
     """GPT-style concat-and-chunk sequence-packing plan over documents:
     per md5-shard, docs laid end-to-end in doc_id order, token stream
@@ -1989,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "graph_stats_directed": q_graph_stats_directed,
         "rich_club": q_rich_club,
+        "feature_hash": q_feature_hash,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
         "token_count": q_token_count,
@@ -3459,6 +3473,25 @@ verts AS (
 SELECT vv.v AS vertex, least(vv.v, coalesce(min(m.u), vv.v)) AS component
 FROM verts vv LEFT JOIN mutual m ON vv.v = m.v
 GROUP BY vv.v""",
+        # hashing-trick featurizer: identical md5 bucket + sign algebra,
+        # unigrams + adjacent bigrams
+        "feature_hash": f"""
+WITH {_TOK},
+g AS (
+  SELECT doc_id, token AS gram FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.token || ' ' || b.token AS gram
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 6))::BIGINT % {FH_FEATURES}
+           AS idx,
+         CASE WHEN ('0x' || substring(md5('sign:' || gram), 1, 1))::INT < 8
+              THEN 1 ELSE -1 END AS s
+  FROM g
+)
+SELECT doc_id, idx, sum(s)::BIGINT AS value FROM h GROUP BY doc_id, idx""",
         # concat-and-chunk packing: identical shard hash, per-shard
         # cumsum and integer-division chunk indices
         "pack_chunks": f"""

@@ -657,3 +657,35 @@ def test_pack_greedy_first_fit_invariants(spark):
                 r["n_tokens"], 10
             )
         assert all(v <= 10 for v in caps.values())
+
+
+# ------------------------------------------------------------ feature hash
+def test_feature_hash_vectors_exact(spark):
+    import hashlib
+
+    from jgtextrank_spark.functions.search import feature_hash_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "cat mat"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = feature_hash_vectors(docs, n_features=64).collect()
+    got = {(r["doc_id"], r["idx"]): r["value"] for r in out}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % 64
+
+    def sign(g):
+        return 1 if int(hashlib.md5(f"sign:{g}".encode()).hexdigest()[0], 16) < 8 else -1
+
+    expected = {}
+    for doc_id, text in [(1, "the cat sat on the mat"), (2, "cat mat"),
+                         (3, ""), (4, "solo")]:
+        toks = [t for t in text.split(" ") if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for g in grams:
+            k = (doc_id, bucket(g))
+            expected[k] = expected.get(k, 0) + sign(g)
+    assert got == expected
+    # doc 3 is empty: contributes no rows
+    assert not any(d == 3 for d, _ in got)
