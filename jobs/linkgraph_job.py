@@ -43,7 +43,8 @@ def parse_args(argv=None):
     p.add_argument(
         "--algo", default="pagerank",
         choices=["pagerank", "components", "components_star", "labelprop",
-                 "triangles", "scc", "salsa", "hits", "trustrank"],
+                 "triangles", "scc", "salsa", "hits", "trustrank",
+                 "louvain", "toposort", "onion"],
     )
     p.add_argument(
         "--trusted", default=None,
@@ -171,6 +172,35 @@ def run(spark, args) -> dict:
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
         )
+    elif args.algo == "louvain":
+        from jgtextrank_spark.algos.louvain import louvain
+
+        res = louvain(
+            edges, levels=2, max_rounds=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        out = res.assignment
+        metrics = res.metrics
+    elif args.algo == "toposort":
+        from jgtextrank_spark.algos.toposort import topological_layers
+
+        res = topological_layers(
+            edges, max_rounds=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
+        out = res.layers
+        metrics = res.metrics
+    elif args.algo == "onion":
+        from jgtextrank_spark.algos.onion import onion_decomposition
+
+        res = onion_decomposition(
+            edges, max_rounds=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
+        out = res.state
+        metrics = res.metrics
     elif args.algo == "trustrank":
         from jgtextrank_spark.algos.pagerank import trustrank
 
