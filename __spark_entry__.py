@@ -370,6 +370,32 @@ def q_scc_tokens(spark, sf_dir):
     return strongly_connected_components(edges)
 
 
+def q_condensation_layers(spark, sf_dir):
+    """Condensation of the corpus-wide directed token graph (each SCC
+    contracted to its min member) + Kahn layering of the resulting DAG:
+    (vertex, component, layer) — dependency tiers of a cyclic graph,
+    the composition every bow-tie / crawl-scheduling analysis starts
+    from. Components with no condensed in-edge are layer 0 (isolated
+    ones never enter the edge-derived vertex set, hence the coalesce).
+    Oracle: mutual-reachability closure -> condensed distinct edges ->
+    recursive longest-path."""
+    _prep(spark)
+    from jgtextrank_spark.algos.scc import condensation
+    from jgtextrank_spark.algos.toposort import topological_layers
+    from jgtextrank_spark.graph import cooccurrence_pairs
+
+    edges = cooccurrence_pairs(
+        _doc_token_arrays(spark, sf_dir), window=WINDOW
+    ).distinct()
+    scc, dag = condensation(edges)
+    layers = topological_layers(dag).layers
+    return scc.join(
+        layers.withColumnRenamed("vertex", "component"), "component", "left"
+    ).select(
+        "vertex", "component", F.coalesce("layer", F.lit(0)).alias("layer")
+    )
+
+
 def q_pagerank_salted(spark, sf_dir):
     """Same spec as q_pagerank but through the explicit hub-skew path
     (salt-partitioned adjacency + two-stage contrib tree) — the oracle is
@@ -1959,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_per_doc": q_components_star_per_doc,
         "scc_per_doc": q_scc_per_doc,
         "scc_tokens": q_scc_tokens,
+        "condensation_layers": q_condensation_layers,
         "ktruss": q_ktruss,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
@@ -3473,6 +3500,56 @@ verts AS (
 SELECT vv.v AS vertex, least(vv.v, coalesce(min(m.u), vv.v)) AS component
 FROM verts vv LEFT JOIN mutual m ON vv.v = m.v
 GROUP BY vv.v""",
+        # condensation + Kahn layering: SCC closure, condensed distinct
+        # edges, recursive longest-path over the DAG, layer 0 fallback
+        # for in-edge-free components
+        "condensation_layers": f"""
+WITH RECURSIVE {_TOK},
+gpairs AS (
+  SELECT DISTINCT a.token AS src, b.token AS dst FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {WINDOW}
+),
+reach(a, b) AS (
+  SELECT src, dst FROM gpairs WHERE src <> dst
+  UNION
+  SELECT r.a, p.dst
+  FROM reach r JOIN gpairs p ON p.src = r.b AND p.src <> p.dst
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM gpairs UNION ALL SELECT dst AS v FROM gpairs
+  )
+),
+assign AS MATERIALIZED (
+  SELECT vv.v AS vertex, least(vv.v, coalesce(min(m.u), vv.v)) AS component
+  FROM verts vv LEFT JOIN mutual m ON vv.v = m.v
+  GROUP BY vv.v
+),
+dag AS MATERIALIZED (
+  SELECT DISTINCT a1.component AS src, a2.component AS dst
+  FROM gpairs g
+  JOIN assign a1 ON a1.vertex = g.src
+  JOIN assign a2 ON a2.vertex = g.dst
+  WHERE a1.component <> a2.component
+),
+cverts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM dag UNION ALL SELECT dst AS v FROM dag
+  )
+),
+p(v, d) AS (
+  SELECT v, 0 FROM cverts WHERE v NOT IN (SELECT dst FROM dag)
+  UNION
+  SELECT dag.dst, p.d + 1 FROM p JOIN dag ON dag.src = p.v
+),
+lay AS (SELECT v, max(d)::BIGINT AS layer FROM p GROUP BY v)
+SELECT a.vertex, a.component, coalesce(l.layer, 0) AS layer
+FROM assign a LEFT JOIN lay l ON l.v = a.component""",
         # hashing-trick featurizer: identical md5 bucket + sign algebra,
         # unigrams + adjacent bigrams
         "feature_hash": f"""

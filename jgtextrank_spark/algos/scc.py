@@ -569,3 +569,38 @@ def bowtie_decomposition(
         .otherwise("DISCONNECTED")
         .alias("region"),
     )
+
+
+def condensation(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    **scc_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Condensation of a digraph: contract each strongly connected
+    component to one supervertex. Returns ``(assignment, dag_edges)``
+    where ``assignment`` is ``(vertex, component)`` (component = min
+    member id) and ``dag_edges`` is the DISTINCT ``(src, dst)`` edge
+    table between different components — acyclic by construction, so it
+    feeds :func:`~jgtextrank_spark.algos.toposort.topological_layers`
+    directly (dependency tiers of a cyclic web graph: every Broder
+    bow-tie analysis starts here).
+
+    ``scc`` may pass a precomputed assignment; otherwise
+    :func:`strongly_connected_components` runs with ``scc_kwargs``.
+    Scale shape: the SCC run plus two label-tagging joins and one
+    distinct aggregation."""
+    from pyspark.sql import functions as F
+
+    if scc is None:
+        scc = strongly_connected_components(edges, **scc_kwargs)
+    cs = scc.select(F.col("vertex").alias("src"), F.col("component").alias("cu"))
+    cd = scc.select(F.col("vertex").alias("dst"), F.col("component").alias("cv"))
+    dag = (
+        edges.select("src", "dst")
+        .join(cs, "src")
+        .join(cd, "dst")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        .distinct()
+    )
+    return scc, dag

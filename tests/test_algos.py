@@ -2187,3 +2187,37 @@ def test_onion_star_and_clique(spark):
         for r in onion_decomposition(k5).state.collect()
     }
     assert got == {v: (1, 4) for v in "abcde"}
+
+
+def test_condensation_nx_parity(spark):
+    from jgtextrank_spark.algos.scc import condensation
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    rng = random.Random(31)
+    pairs = {("a", "b"), ("b", "a")}
+    for _ in range(60):
+        u, v = rng.randrange(20), rng.randrange(20)
+        if u != v:
+            pairs.add((f"m{u}", f"m{v}"))
+    edges = spark.createDataFrame(sorted(pairs), "src string, dst string")
+    scc, dag = condensation(edges)
+    dag_rows = {(r["src"], r["dst"]) for r in dag.collect()}
+    assign = {r["vertex"]: r["component"] for r in scc.collect()}
+
+    G = nx.DiGraph()
+    G.add_edges_from(pairs)
+    want_assign = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want_assign[v] = m
+    assert assign == want_assign
+    want_dag = {
+        (want_assign[u], want_assign[v])
+        for u, v in pairs
+        if want_assign[u] != want_assign[v]
+    }
+    assert dag_rows == want_dag
+    # the condensation is a DAG: layering must not raise
+    res = topological_layers(dag)
+    assert res.acyclic
