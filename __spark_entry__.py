@@ -40,6 +40,9 @@ ANN_K = 5
 ONION_ROUNDS = 20  # onion gate: unrolled peel rounds (no-op past fixpoint)
 LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
+PQ_M = 8  # PQ gate: subvector blocks
+_PQ_SUB = 64 // PQ_M  # embeddings are 64-dim (TESTDATA.md)
+PQ_CODES = 16  # PQ gate: codewords per block
 FH_FEATURES = 4096  # feature-hash gate: vector width
 PACK_CONTEXT = 512  # sequence-packing gate: context window (tokens)
 PACK_SHARDS = 16  # sequence-packing gate: md5 shards
@@ -1621,6 +1624,25 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (ADC scan): corpus compressed to
+    PQ_M codes per vector against md5-seeded per-block codebooks; a
+    query scans with per-block distance-table lookups — the 100 TB
+    memory path (m bytes per vector instead of 4·d). Gate runs the
+    replayable kmeans_iters=0 codebook (the IVF convention); the Lloyd
+    refinement's recall lift is measured in tests."""
+    _prep(spark)
+    from jgtextrank_spark.functions.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return pq_topk(
+        emb, queries, k=ANN_K, m_subvectors=PQ_M, n_codes=PQ_CODES
+    ).select(
+        "q_id", "n_id", "adc_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.multimodal import media_metadata
@@ -2050,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "multimodal_meta": q_multimodal_meta,
         "top_tokens": q_top_tokens,
         "prf_eval": q_prf_eval,
@@ -3948,6 +3971,66 @@ r AS (
 )
 SELECT q_id, n_id, cosine, rank::BIGINT AS rank FROM r
 WHERE rank <= {ANN_K}""",
+        # PQ/ADC replay: same seeded codebook, per-block squared-L2 with
+        # the same left-fold + 6dp rounding, min-(d, code) assignment,
+        # j-ordered ADC fold
+        "ann_pq_topk": f"""
+WITH cbv AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS v
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {PQ_CODES}
+),
+cb AS (
+  SELECT c_id, j,
+         v[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS c_sub
+  FROM cbv, range(0, {PQ_M}) t(j)
+),
+nb AS (
+  SELECT vec_id AS n_id, j,
+         (embedding::DOUBLE[])[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}]
+           AS n_sub
+  FROM embeddings, range(0, {PQ_M}) t(j)
+),
+qb AS (
+  SELECT vec_id AS q_id, j,
+         (embedding::DOUBLE[])[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}]
+           AS q_sub
+  FROM embeddings, range(0, {PQ_M}) t(j)
+  WHERE vec_id < {ANN_QUERIES}
+),
+codes AS (
+  SELECT n_id, j, code FROM (
+    SELECT n.n_id, n.j, c.c_id AS code,
+           row_number() OVER (
+             PARTITION BY n.n_id, n.j
+             ORDER BY round(list_sum(list_transform(
+                        range(1, {_PQ_SUB} + 1),
+                        i -> (n.n_sub[i] - c.c_sub[i])
+                           * (n.n_sub[i] - c.c_sub[i]))), 6) ASC,
+                      c.c_id ASC) AS rn
+    FROM nb n JOIN cb c ON c.j = n.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.q_id, q.j, c.c_id AS code,
+         round(list_sum(list_transform(
+           range(1, {_PQ_SUB} + 1),
+           i -> (q.q_sub[i] - c.c_sub[i])
+              * (q.q_sub[i] - c.c_sub[i]))), 6) AS d
+  FROM qb q JOIN cb c ON c.j = q.j
+),
+adc AS (
+  SELECT l.q_id, cd.n_id,
+         round(list_sum(list(l.d ORDER BY l.j)), 6) AS adc_d2
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+  WHERE l.q_id <> cd.n_id
+  GROUP BY l.q_id, cd.n_id
+)
+SELECT q_id, n_id, adc_d2, rank::BIGINT AS rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_d2 ASC, n_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {ANN_K}""",
         "multimodal_meta": """
 SELECT doc_id::VARCHAR AS doc_id,
        'application/octet-stream' AS media_type,

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "pq_topk"]
 
 
 def _norm_cols(df: DataFrame, id_col: str, vec_col: str, prefix: str):
@@ -294,4 +294,182 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _pq_kmeans_round(nblocks, codebook, m_subvectors, sub):
+    """One per-block Lloyd iteration for PQ: assign every corpus block to
+    its nearest codeword (rounded-distance min-struct — identical to the
+    final encode), per-dim mean per (block, codeword); empty codewords
+    keep their previous value. Collected to the driver (m x n_codes x
+    sub scalars) so each round's lineage stays flat. Deterministic init
+    + deterministic assignment, but the mean's FP summation order is
+    engine-internal — refinement is for RECALL (measured in tests), the
+    replayable gate path runs kmeans_iters=0, the same convention as
+    ivf_topk."""
+    d2e = F.aggregate(
+        F.zip_with(
+            F.col("n_sub"), F.col("c_sub"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        nblocks.join(F.broadcast(codebook), "j")
+        .select(
+            "n_id", "j", "n_sub", F.round(d2e, 6).alias("d"), "c_id"
+        )
+        .groupBy("n_id", "j")
+        .agg(
+            F.first("n_sub").alias("n_sub"),
+            F.min(F.struct("d", "c_id")).alias("best"),
+        )
+        .select("j", F.col("best.c_id").alias("c_id"), "n_sub")
+    )
+    means = (
+        asg.select("j", "c_id", F.posexplode("n_sub").alias("dim", "v"))
+        .groupBy("j", "c_id", "dim")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("j", "c_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda s: s["v"],
+            ).alias("new_sub")
+        )
+    )
+    spark = nblocks.sparkSession
+    rows = (
+        codebook.join(means, ["j", "c_id"], "left")
+        .select(
+            "j", "c_id", F.coalesce("new_sub", "c_sub").alias("c_sub")
+        )
+        .collect()
+    )
+    id_type = codebook.schema["c_id"].dataType.simpleString()
+    return spark.createDataFrame(
+        [(r["j"], r["c_id"], [float(x) for x in r["c_sub"]]) for r in rows],
+        f"j int, c_id {id_type}, c_sub array<double>",
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is
+    split into ``m_subvectors`` blocks, each block encoded as its
+    nearest codeword from a per-block codebook — the corpus compresses
+    to ``m`` small ints per vector, and a query scans it with
+    asymmetric-distance (ADC) TABLE LOOKUPS instead of full d-dim math.
+
+    This is the 100 TB memory story the flat/IVF paths lack: the scan
+    touches m bytes per vector, not 4d, and the per-query lookup table
+    (m x n_codes distances) broadcasts at any corpus size. Plain PQ is
+    still a linear scan — compose with :func:`ivf_topk`'s inverted lists
+    for the sublinear IVF-PQ layout; rerank survivors with
+    :func:`cosine_topk` semantics when exactness at the top matters.
+
+    Determinism/replayability (the engine's ANN conventions): the
+    codebook is the ``n_codes`` corpus vectors with smallest
+    ``md5(id)`` (their j-th blocks form block-j's codewords, codeword
+    id = vector id); encode ties break (rounded distance ASC, codeword
+    id ASC) via min-struct; ADC sums fold the per-block distances in
+    block order (deterministic FP), rounded to 6 dp before ranking;
+    rank ties break on neighbour id. Returns
+    ``(q_id, n_id, adc_d2, rank)`` with ``adc_d2`` the ADC squared-L2
+    estimate (LOWER is closer, unlike the cosine rows)."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m_subvectors != 0:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by m_subvectors="
+            f"{m_subvectors}"
+        )
+    sub = dim // m_subvectors
+
+    def blocks(df: DataFrame, prefix: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), v.alias("v")
+        ).select(
+            f"{prefix}_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m_subvectors - 1))).alias(
+                "j"
+            ),
+            "v",
+        ).select(
+            f"{prefix}_id",
+            "j",
+            F.expr(f"slice(v, j * {sub} + 1, {sub})").alias(f"{prefix}_sub"),
+        )
+
+    cb = (
+        corpus.select(
+            F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_codes)
+        .drop("h")
+        .join(corpus, id_col)
+    )
+    codebook = blocks(cb, "c").withColumnRenamed("c_sub", "c_sub_raw").select(
+        "c_id", "j", F.col("c_sub_raw").alias("c_sub")
+    )
+    for _ in range(kmeans_iters):
+        codebook = _pq_kmeans_round(
+            blocks(corpus, "n"), codebook, m_subvectors, sub
+        )
+
+    def d2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = (
+        blocks(corpus, "n")
+        .join(F.broadcast(codebook), "j")
+        .select(
+            "n_id", "j", "c_id", F.round(d2("n_sub", "c_sub"), 6).alias("d")
+        )
+        .groupBy("n_id", "j")
+        .agg(F.min(F.struct("d", "c_id")).alias("best"))
+        .select("n_id", "j", F.col("best.c_id").alias("code"))
+    )
+    lut = (
+        blocks(queries, "q")
+        .join(F.broadcast(codebook), "j")
+        .select(
+            "q_id",
+            "j",
+            F.col("c_id").alias("code"),
+            F.round(d2("q_sub", "c_sub"), 6).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "d"))).alias("ds"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, x: acc + x["d"]
+                ),
+                6,
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("n_id"))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

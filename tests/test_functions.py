@@ -689,3 +689,44 @@ def test_feature_hash_vectors_exact(spark):
     assert got == expected
     # doc 3 is empty: contributes no rows
     assert not any(d == 3 for d, _ in got)
+
+
+# -------------------------------------------------------------------- PQ
+def test_pq_topk_recall_and_refinement(spark):
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.functions.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    norm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) / "
+            "sqrt(aggregate(embedding, cast(0.0 as double), "
+            "(a, y) -> a + cast(y as double)*cast(y as double))))"
+        ).alias("embedding"),
+    )
+    q = norm.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=10
+        ).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in pq_topk(
+                norm, q, k=10, m_subvectors=16, n_codes=32,
+                kmeans_iters=iters,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r0 >= 0.25  # quantized scan finds a solid share of the truth
+    assert r2 > r0     # Lloyd refinement lifts recall on the same data
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(norm, q, m_subvectors=7)
