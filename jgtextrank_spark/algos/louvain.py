@@ -117,8 +117,11 @@ def louvain_move_phase(
 ) -> tuple[DataFrame, int, bool, list[dict]]:
     """One Louvain local-move phase: (assignment, rounds, converged,
     metrics). ``init`` is an optional (vertex, community) start (default
-    singletons). ``fixed_rounds`` runs exactly that many rounds (for
-    bit-exact replay); otherwise stops at the first no-move round.
+    singletons; inner-joined against the graph's vertex set, so pass a
+    COMPLETE assignment — ids absent from the edge table and graph
+    vertices missing from ``init`` are both dropped). ``fixed_rounds``
+    runs exactly that many rounds (for bit-exact replay); otherwise
+    stops at the first no-move round.
 
     Runs on :func:`~jgtextrank_spark.supersteps.run_supersteps` (the
     engine's iterative-solver harness: per-round lineage truncation,

@@ -1,4 +1,4 @@
-"""spark-submit entry point for the link-graph suite (north rule: "ships
+r"""spark-submit entry point for the link-graph suite (north rule: "ships
 as a spark-submit --py-files job").
 
     # package once (or let the job auto-ship itself via addPyFile):
