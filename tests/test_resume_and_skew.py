@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import networkx as nx
 import pytest
+from pyspark.sql import functions as F
 
 from jgtextrank_spark.algos.components import (
     connected_components,
@@ -129,3 +130,53 @@ def test_pagerank_encoded_ids_matches(spark):
     assert enc.keys() == plain.keys()
     for k in plain:
         assert abs(enc[k] - plain[k]) <= 1e-12
+
+
+def test_toposort_checkpoint_resume(spark, tmp_path):
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    # 12-deep chain with some cross edges: depth > checkpoint interval
+    edges = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(12)]
+    edges += [("v00", "v05"), ("v03", "v09")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ck = str(tmp_path / "topo_ck")
+    full = topological_layers(df, checkpoint_every=4)
+    want = {r["vertex"]: r["layer"] for r in full.layers.collect()}
+
+    # run capped at 5 rounds (writes the round-4 checkpoint, then stops
+    # unconverged), then resume to completion from the checkpoint
+    partial = topological_layers(
+        df, max_rounds=5, checkpoint_every=4, checkpoint_dir=ck,
+        allow_cycles=True,
+    )
+    assert partial.n_cyclic > 0  # genuinely incomplete at 5 rounds
+    res = topological_layers(df, checkpoint_every=4, checkpoint_dir=ck)
+    got = {r["vertex"]: r["layer"] for r in res.layers.collect()}
+    assert got == want
+    assert any(m["event"] == "resume" for m in res.metrics)
+
+
+def test_onion_checkpoint_resume(spark, tmp_path):
+    import itertools
+
+    from jgtextrank_spark.algos.onion import onion_decomposition
+
+    # layered structure: K5 core + a few pendant chains => several rounds
+    edges = [(a, b) for a, b in itertools.combinations("abcde", 2)]
+    for i, c in enumerate("abcde"):
+        edges += [(c, f"p{i}0"), (f"p{i}0", f"p{i}1"), (f"p{i}1", f"p{i}2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ck = str(tmp_path / "onion_ck")
+    full = onion_decomposition(df, checkpoint_every=2)
+    want = {
+        r["vertex"]: (r["layer"], r["core"]) for r in full.state.collect()
+    }
+
+    partial = onion_decomposition(
+        df, max_rounds=2, checkpoint_every=2, checkpoint_dir=ck
+    )
+    assert partial.state.filter(F.col("layer").isNull()).count() > 0
+    res = onion_decomposition(df, checkpoint_every=2, checkpoint_dir=ck)
+    got = {r["vertex"]: (r["layer"], r["core"]) for r in res.state.collect()}
+    assert got == want
+    assert any(m["event"] == "resume" for m in res.metrics)
