@@ -1643,6 +1643,30 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition: probed inverted lists (sublinear candidates)
+    + PQ/ADC code scoring (m lookups per candidate) — the production
+    100 TB ANN layout. Every stage is md5-seeded/deterministic, so the
+    oracle replays coarse assignment, probes, codes and the ADC fold
+    end-to-end."""
+    _prep(spark)
+    from jgtextrank_spark.functions.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES)
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=ANN_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        m_subvectors=PQ_M,
+        n_codes=PQ_CODES,
+    ).select(
+        "q_id", "n_id", "adc_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     _prep(spark)
     from jgtextrank_spark.functions.multimodal import media_metadata
@@ -2073,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "multimodal_meta": q_multimodal_meta,
         "top_tokens": q_top_tokens,
         "prf_eval": q_prf_eval,
@@ -3276,6 +3301,106 @@ r AS (
 SELECT q_id, n_id, cosine, rank::BIGINT AS rank FROM r WHERE rank <= {k}"""
 
 
+def _ann_ivfpq_sql(
+    k: int,
+    n_queries: int,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    sub: int,
+    n_codes: int,
+) -> str:
+    """Replay of similarity.ivfpq_topk: the _ann_ivf_sql coarse stage
+    (seeded centroids, rounded-cosine assignment, n_probe lists) feeding
+    the ann_pq_topk ADC stage (seeded codebook, j-ordered fold),
+    restricted to probed candidates."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv FROM e
+  ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids}
+),
+asgn AS (
+  SELECT n_id, cluster FROM (
+    SELECT n.vec_id AS n_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_cosine_similarity(n.v, c.cv), 6) DESC,
+                      c.c_id DESC) AS rn
+    FROM e n, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cluster FROM (
+    SELECT q.vec_id AS q_id, c.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                      c.c_id DESC) AS rn
+    FROM e q, cents c WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN asgn a USING (cluster)
+  WHERE a.n_id <> p.q_id
+),
+cbv AS (
+  SELECT vec_id AS c_id, v FROM e
+  ORDER BY md5(vec_id::VARCHAR) LIMIT {n_codes}
+),
+cb AS (
+  SELECT c_id, j, v[j * {sub} + 1 : j * {sub} + {sub}] AS c_sub
+  FROM cbv, range(0, {m}) t(j)
+),
+nb AS (
+  SELECT vec_id AS n_id, j,
+         v[j * {sub} + 1 : j * {sub} + {sub}] AS n_sub
+  FROM e, range(0, {m}) t(j)
+),
+qb AS (
+  SELECT vec_id AS q_id, j,
+         v[j * {sub} + 1 : j * {sub} + {sub}] AS q_sub
+  FROM e, range(0, {m}) t(j)
+  WHERE vec_id < {n_queries}
+),
+codes AS (
+  SELECT n_id, j, code FROM (
+    SELECT n.n_id, n.j, c.c_id AS code,
+           row_number() OVER (
+             PARTITION BY n.n_id, n.j
+             ORDER BY round(list_sum(list_transform(
+                        range(1, {sub} + 1),
+                        i -> (n.n_sub[i] - c.c_sub[i])
+                           * (n.n_sub[i] - c.c_sub[i]))), 6) ASC,
+                      c.c_id ASC) AS rn
+    FROM nb n JOIN cb c ON c.j = n.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.q_id, q.j, c.c_id AS code,
+         round(list_sum(list_transform(
+           range(1, {sub} + 1),
+           i -> (q.q_sub[i] - c.c_sub[i])
+              * (q.q_sub[i] - c.c_sub[i]))), 6) AS d
+  FROM qb q JOIN cb c ON c.j = q.j
+),
+adc AS (
+  SELECT cand.q_id, cand.n_id,
+         round(list_sum(list(l.d ORDER BY l.j)), 6) AS adc_d2
+  FROM cand
+  JOIN codes cd ON cd.n_id = cand.n_id
+  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
+  GROUP BY cand.q_id, cand.n_id
+)
+SELECT q_id, n_id, adc_d2, rank::BIGINT AS rank FROM (
+  SELECT q_id, n_id, adc_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_d2 ASC, n_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}"""
+
+
 def _ann_ivf_sql(
     k: int, n_queries: int, n_centroids: int, n_probe: int
 ) -> str:
@@ -3974,6 +4099,10 @@ WHERE rank <= {ANN_K}""",
         # PQ/ADC replay: same seeded codebook, per-block squared-L2 with
         # the same left-fold + 6dp rounding, min-(d, code) assignment,
         # j-ordered ADC fold
+        "ann_ivfpq_topk": _ann_ivfpq_sql(
+            ANN_K, ANN_QUERIES, IVF_CENTROIDS, IVF_PROBE,
+            PQ_M, _PQ_SUB, PQ_CODES,
+        ),
         "ann_pq_topk": f"""
 WITH cbv AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS v

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "pq_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "pq_topk", "ivfpq_topk"]
 
 
 def _norm_cols(df: DataFrame, id_col: str, vec_col: str, prefix: str):
@@ -385,6 +385,21 @@ def pq_topk(
     rank ties break on neighbour id. Returns
     ``(q_id, n_id, adc_d2, rank)`` with ``adc_d2`` the ADC squared-L2
     estimate (LOWER is closer, unlike the cosine rows)."""
+    sub, blocks, codebook = _pq_build(
+        corpus, id_col, vec_col, m_subvectors, n_codes, kmeans_iters
+    )
+    codes = _pq_codes(blocks(corpus, "n"), codebook)
+    lut = _pq_lut(blocks(queries, "q"), codebook)
+    adc = _pq_adc(codes.join(F.broadcast(lut), ["j", "code"]))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("n_id"))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _pq_build(corpus, id_col, vec_col, m_subvectors, n_codes, kmeans_iters):
+    """(sub, blocks, codebook): block width, the block-splitting helper,
+    and the (j, c_id, c_sub) codebook (md5-seeded + optional Lloyd)."""
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m_subvectors != 0:
         raise ValueError(
@@ -425,50 +440,132 @@ def pq_topk(
         codebook = _pq_kmeans_round(
             blocks(corpus, "n"), codebook, m_subvectors, sub
         )
+    return sub, blocks, codebook
 
-    def d2(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
-    codes = (
-        blocks(corpus, "n")
-        .join(F.broadcast(codebook), "j")
+def _pq_d2(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes(nblocks: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(n_id, j, code): nearest codeword per block, min-(rounded d,
+    codeword id) tie-break."""
+    return (
+        nblocks.join(F.broadcast(codebook), "j")
         .select(
-            "n_id", "j", "c_id", F.round(d2("n_sub", "c_sub"), 6).alias("d")
+            "n_id",
+            "j",
+            "c_id",
+            F.round(_pq_d2("n_sub", "c_sub"), 6).alias("d"),
         )
         .groupBy("n_id", "j")
         .agg(F.min(F.struct("d", "c_id")).alias("best"))
         .select("n_id", "j", F.col("best.c_id").alias("code"))
     )
-    lut = (
-        blocks(queries, "q")
-        .join(F.broadcast(codebook), "j")
-        .select(
-            "q_id",
-            "j",
-            F.col("c_id").alias("code"),
-            F.round(d2("q_sub", "c_sub"), 6).alias("d"),
-        )
+
+
+def _pq_lut(qblocks: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(q_id, j, code, d): the per-query distance lookup table."""
+    return qblocks.join(F.broadcast(codebook), "j").select(
+        "q_id",
+        "j",
+        F.col("c_id").alias("code"),
+        F.round(_pq_d2("q_sub", "c_sub"), 6).alias("d"),
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["j", "code"])
-        .filter(F.col("q_id") != F.col("n_id"))
+
+
+def _pq_adc(pairs: DataFrame) -> DataFrame:
+    """Fold (q_id, n_id, j, d) rows into (q_id, n_id, adc_d2): per-pair
+    distances summed in block order (deterministic FP), 6-dp rounded."""
+    return (
+        pairs.filter(F.col("q_id") != F.col("n_id"))
         .groupBy("q_id", "n_id")
         .agg(F.sort_array(F.collect_list(F.struct("j", "d"))).alias("ds"))
         .select(
             "q_id",
             "n_id",
             F.round(
-                F.aggregate(
-                    "ds", F.lit(0.0), lambda acc, x: acc + x["d"]
-                ),
+                F.aggregate("ds", F.lit(0.0), lambda acc, x: acc + x["d"]),
                 6,
             ).alias("adc_d2"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m_subvectors: int = 4,
+    n_codes: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN layout (Jégou et al. 2011) —
+    :func:`ivf_topk`'s probed inverted lists make the candidate set
+    SUBLINEAR, :func:`pq_topk`'s ADC codes make scoring each candidate
+    m table lookups over m-byte codes instead of full d-dim math. Same
+    determinism contract as both parents (md5-seeded coarse centroids
+    and codebooks, rounded-score tie-breaks, block-ordered ADC folds),
+    so the gate oracle replays it end-to-end. ``kmeans_iters`` refines
+    the PQ codebook only (the replayable gate path uses 0). Returns
+    ``(q_id, n_id, adc_d2, rank)`` — rerank the survivors with exact
+    cosine when top-of-list exactness matters."""
+    c = _norm_cols(corpus, id_col, vec_col, "n")
+    cents = (
+        c.select(
+            F.col("n_id").alias("c_id"),
+            F.col("n_vec").alias("c_vec"),
+            F.col("n_nrm").alias("c_nrm"),
+            F.md5(F.col("n_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .drop("h")
+    )
+    n_scored = c.join(F.broadcast(cents)).select(
+        "n_id",
+        "c_id",
+        F.round(_cosine("n_vec", "c_vec", "n_nrm", "c_nrm"), 6).alias("cs"),
+    )
+    assign = (
+        n_scored.groupBy("n_id")
+        .agg(F.max(F.struct("cs", "c_id")).alias("best"))
+        .select("n_id", F.col("best.c_id").alias("cluster"))
+    )
+    q = _norm_cols(queries, id_col, vec_col, "q")
+    q_scored = q.join(F.broadcast(cents)).select(
+        "q_id",
+        "c_id",
+        F.round(_cosine("q_vec", "c_vec", "q_nrm", "c_nrm"), 6).alias("cs"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.desc("c_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", F.col("c_id").alias("cluster"))
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cluster")
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    sub, blocks, codebook = _pq_build(
+        corpus, id_col, vec_col, m_subvectors, n_codes, kmeans_iters
+    )
+    codes = _pq_codes(blocks(corpus, "n"), codebook)
+    lut = _pq_lut(blocks(queries, "q"), codebook)
+    pairs = cand.join(codes, "n_id").join(
+        F.broadcast(lut), ["q_id", "j", "code"]
+    )
+    adc = _pq_adc(pairs)
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc("n_id"))
     return adc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

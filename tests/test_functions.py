@@ -730,3 +730,39 @@ def test_pq_topk_recall_and_refinement(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(norm, q, m_subvectors=7)
+
+
+def test_ivfpq_topk_subset_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.functions.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(
+        emb, q, k=10, n_centroids=16, n_probe=16,
+        m_subvectors=16, n_codes=32,
+    ).collect()
+    # probing ALL lists makes IVF-PQ degenerate to plain PQ: same result
+    pq = pq_topk(emb, q, k=10, m_subvectors=16, n_codes=32).collect()
+    assert {
+        (r["q_id"], r["n_id"], r["adc_d2"], r["rank"]) for r in got
+    } == {(r["q_id"], r["n_id"], r["adc_d2"], r["rank"]) for r in pq}
+
+    # restricted probing still finds a solid share of the exact truth
+    restricted = {
+        (r["q_id"], r["n_id"])
+        for r in ivfpq_topk(
+            emb, q, k=10, n_centroids=16, n_probe=4,
+            m_subvectors=16, n_codes=32,
+        ).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    assert len(restricted & exact) / len(exact) >= 0.2
