@@ -48,6 +48,7 @@ __all__ = [
     "LouvainResult",
     "louvain_move_phase",
     "louvain",
+    "leiden",
     "refine_partition",
 ]
 
@@ -407,6 +408,110 @@ def louvain(
         cur_edges = _contract(cur_edges, comm).localCheckpoint(eager=True)
     return LouvainResult(
         assignment=mapping,
+        levels=lv,
+        rounds=rounds_per_level,
+        converged=conv_all,
+        metrics=all_metrics,
+    )
+
+
+def leiden(
+    edges: DataFrame,
+    levels: int = 3,
+    max_rounds: int = 30,
+    seed: str = "leiden",
+    checkpoint_dir: str | None = None,
+) -> LouvainResult:
+    """Leiden community detection (Traag, Waltman & van Eck 2019) from
+    the engine's existing parts: per level, a Louvain local-move phase,
+    then CONNECTIVITY REFINEMENT of the resulting partition
+    (:func:`refine_partition`), then aggregation over the REFINED pieces
+    while the coarse graph's vertices KEEP their move-phase communities
+    (``init``) — the aggregate-on-refinement step that lets later levels
+    re-split badly merged communities, which plain Louvain cannot.
+
+    The returned assignment gets a final refinement pass, so every
+    returned community is CONNECTED — the paper's headline guarantee
+    (splitting a disconnected community strictly increases modularity,
+    so the final pass never hurts the objective). Deterministic
+    throughout (md5-gated moves, min-id piece labels)."""
+    mapping: DataFrame | None = None  # vertex -> current refined piece
+    cur_edges = edges
+    init: DataFrame | None = None
+    all_metrics: list[dict] = []
+    rounds_per_level: list[int] = []
+    conv_all = True
+    lv = 0
+    comm = None
+    for lv in range(1, levels + 1):
+        comm, rounds, conv, ms = louvain_move_phase(
+            cur_edges,
+            init=init,
+            max_rounds=max_rounds,
+            seed=f"{seed}:L{lv}",
+            checkpoint_dir=(
+                f"{checkpoint_dir}/level{lv}" if checkpoint_dir else None
+            ),
+        )
+        rounds_per_level.append(rounds)
+        conv_all = conv_all and conv
+        for m in ms:
+            all_metrics.append({"level": lv, **m})
+        refined = refine_partition(
+            cur_edges, comm.withColumnRenamed("community", "label")
+        ).localCheckpoint(eager=True)
+        # piece -> the move-phase community all its members share
+        # (refined.community is the piece id, comm.community the louvain
+        # community; a piece lies inside one community by construction)
+        piece_comm = (
+            refined.select("vertex", F.col("community").alias("piece"))
+            .join(comm, "vertex")
+            .select("piece", "community")
+            .distinct()
+        )
+        if mapping is None:
+            mapping = refined.select(
+                "vertex", F.col("community").alias("piece")
+            )
+        else:
+            mapping = mapping.join(
+                refined.select(
+                    F.col("vertex").alias("piece"),
+                    F.col("community").alias("new_piece"),
+                ),
+                "piece",
+            ).select("vertex", F.col("new_piece").alias("piece"))
+        mapping = mapping.localCheckpoint(eager=True)
+        n_pieces = piece_comm.count()
+        n_verts = refined.count()
+        all_metrics.append(
+            {"level": lv, "event": "refine", "pieces": n_pieces}
+        )
+        if lv == levels or n_pieces == n_verts:
+            break
+        cur_edges = _contract(
+            cur_edges,
+            refined.select("vertex", F.col("community").alias("community")),
+        ).localCheckpoint(eager=True)
+        init = piece_comm.select(
+            F.col("piece").alias("vertex"), "community"
+        )
+    # map original vertices through their piece to its final community,
+    # then guarantee connectivity with one last refinement
+    piece_final = (
+        refined.select("vertex", F.col("community").alias("piece"))
+        .join(comm, "vertex")
+        .select("piece", "community")
+        .distinct()
+    )
+    assignment = mapping.join(piece_final, "piece").select(
+        "vertex", "community"
+    )
+    assignment = refine_partition(
+        edges, assignment.withColumnRenamed("community", "label")
+    ).localCheckpoint(eager=True)
+    return LouvainResult(
+        assignment=assignment,
         levels=lv,
         rounds=rounds_per_level,
         converged=conv_all,

@@ -2221,3 +2221,38 @@ def test_condensation_nx_parity(spark):
     # the condensation is a DAG: layering must not raise
     res = topological_layers(dag)
     assert res.acyclic
+
+
+# ------------------------------------------------------------------ leiden
+def test_leiden_connected_communities_and_quality(spark):
+    from jgtextrank_spark.algos.louvain import leiden
+
+    rng = random.Random(13)
+    blocks = [[f"b{b}n{i}" for i in range(8)] for b in range(4)]
+    edges = []
+    for mem in blocks:
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                if rng.random() < 0.75:
+                    edges.append((mem[i], mem[j], 1.0))
+    allv = [v for mem in blocks for v in mem]
+    for _ in range(16):
+        u, v = rng.choice(allv), rng.choice(allv)
+        if u != v:
+            edges.append((u, v, 1.0))
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    res = leiden(df, levels=3)
+    part = {}
+    for r in res.assignment.collect():
+        part.setdefault(r["community"], set()).add(r["vertex"])
+
+    G = nx.Graph()
+    G.add_weighted_edges_from(edges)
+    # the Leiden guarantee: every returned community is connected
+    for members in part.values():
+        assert len(members) == 1 or nx.is_connected(G.subgraph(members))
+    q_ours = nx.community.modularity(G, list(part.values()))
+    q_nx = nx.community.modularity(
+        G, nx.community.louvain_communities(G, seed=1)
+    )
+    assert q_ours >= q_nx - 0.05, (q_ours, q_nx)
