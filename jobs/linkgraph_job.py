@@ -44,7 +44,7 @@ def parse_args(argv=None):
         "--algo", default="pagerank",
         choices=["pagerank", "components", "components_star", "labelprop",
                  "triangles", "scc", "salsa", "hits", "trustrank",
-                 "louvain", "toposort", "onion"],
+                 "louvain", "leiden", "toposort", "onion"],
     )
     p.add_argument(
         "--trusted", default=None,
@@ -177,6 +177,15 @@ def run(spark, args) -> dict:
 
         res = louvain(
             edges, levels=2, max_rounds=args.max_iter,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        out = res.assignment
+        metrics = res.metrics
+    elif args.algo == "leiden":
+        from jgtextrank_spark.algos.louvain import leiden
+
+        res = leiden(
+            edges, levels=3, max_rounds=args.max_iter,
             checkpoint_dir=args.checkpoint_dir,
         )
         out = res.assignment
