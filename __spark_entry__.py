@@ -43,6 +43,7 @@ LOUVAIN_SEED = "gate-louvain"
 PQ_M = 8  # PQ gate: subvector blocks
 _PQ_SUB = 64 // PQ_M  # embeddings are 64-dim (TESTDATA.md)
 PQ_CODES = 16  # PQ gate: codewords per block
+DSIR_BUCKETS = 8192  # DSIR gate: hashed n-gram buckets
 FH_FEATURES = 4096  # feature-hash gate: vector width
 PACK_CONTEXT = 512  # sequence-packing gate: context window (tokens)
 PACK_SHARDS = 16  # sequence-packing gate: md5 shards
@@ -1279,6 +1280,21 @@ def q_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) for target-shaped data
+    selection: every document scored by Σ c_b·(log p_en(b) − log
+    p_all(b)) over hashed unigram+bigram buckets, target = the corpus's
+    lang='en' slice. The oracle replays the md5 buckets, add-one bucket
+    distributions and log-ratio rollup."""
+    _prep(spark)
+    from jgtextrank_spark.functions.lm import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+
+
 def q_feature_hash(spark, sf_dir):
     """Signed hashing-trick n-gram featurizer (HashingVectorizer / VW
     scheme): sparse (doc_id, idx, value) with md5 bucket + independent
@@ -2075,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "graph_stats_directed": q_graph_stats_directed,
         "rich_club": q_rich_club,
+        "dsir_weights": q_dsir_weights,
         "feature_hash": q_feature_hash,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
@@ -3698,6 +3715,50 @@ p(v, d) AS (
 lay AS (SELECT v, max(d)::BIGINT AS layer FROM p GROUP BY v)
 SELECT a.vertex, a.component, coalesce(l.layer, 0) AS layer
 FROM assign a LEFT JOIN lay l ON l.v = a.component""",
+        # DSIR replay: same md5 buckets, add-one bucket distributions
+        # on target (lang='en') and raw (all docs), per-doc log-ratio sum
+        "dsir_weights": f"""
+WITH {_TOK},
+g AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 6))::BIGINT % {DSIR_BUCKETS}
+           AS b
+  FROM (
+    SELECT doc_id, token AS gram FROM tok
+    UNION ALL
+    SELECT a.doc_id, a.token || ' ' || b.token AS gram
+    FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  )
+),
+tgt AS (
+  SELECT b, count(*) AS c FROM g
+  JOIN documents d ON d.doc_id = g.doc_id
+  WHERE d.lang = 'en' GROUP BY b
+),
+rawc AS (SELECT b, count(*) AS c FROM g GROUP BY b),
+nt AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tgt),
+nr AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rawc),
+ratio AS (
+  SELECT r.b,
+         coalesce(ln((t.c + 1.0) / ((SELECT n FROM nt) + {DSIR_BUCKETS})),
+                  ln(1.0 / ((SELECT n FROM nt) + {DSIR_BUCKETS})))
+         - ln((r.c + 1.0) / ((SELECT n FROM nr) + {DSIR_BUCKETS}))
+           AS log_ratio
+  FROM rawc r LEFT JOIN tgt t ON t.b = r.b
+),
+perdoc AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY doc_id, b),
+agg AS (
+  SELECT p.doc_id, sum(p.c)::BIGINT AS n_feats,
+         sum(p.c * rt.log_ratio) AS lw
+  FROM perdoc p JOIN ratio rt ON rt.b = p.b
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+       round(coalesce(a.lw, 0.0), 6) AS log_weight,
+       round(CASE WHEN coalesce(a.n_feats, 0) > 0
+                  THEN a.lw / a.n_feats ELSE 0.0 END, 6) AS avg_log_ratio
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
         # hashing-trick featurizer: identical md5 bucket + sign algebra,
         # unigrams + adjacent bigrams
         "feature_hash": f"""

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens_expr
 
-__all__ = ["doc_bigrams", "bigram_lm_score", "pmi_collocations"]
+__all__ = ["doc_bigrams", "bigram_lm_score", "pmi_collocations", "dsir_weights"]
 
 
 def doc_bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -160,5 +160,127 @@ def pmi_collocations(
                 ),
                 round_to,
             ).alias("pmi"),
+        )
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every corpus document by how target-like its hashed n-gram profile
+    is — ``log w(x) = Σ_b c_x(b) · (log p_target(b) − log p_raw(b))``
+    over hashed unigram+bigram buckets — then feed the weights to
+    :func:`~jgtextrank_spark.functions.sampling.weighted_sample` to
+    draw a target-shaped training subset from a raw crawl. This is the
+    standard importance-resampling selection step between a small clean
+    target corpus (Wikipedia, books) and a 100 TB raw crawl.
+
+    ``p(b) = (count(b) + 1) / (N + n_buckets)`` (add-one over buckets)
+    for both sides; ``raw`` defaults to ``corpus`` itself. Buckets are
+    the same md5 hash family as
+    :func:`~jgtextrank_spark.functions.search.feature_hash_vectors`
+    (unsigned counts — DSIR models bags, not signed sketches), so the
+    whole computation is md5 + log/count algebra: map-side-combinable
+    count tables, one broadcastable bucket-distribution join, one
+    per-doc rollup. Returns ``(doc_id, n_feats, log_weight,
+    avg_log_ratio)`` — ``log_weight`` is the raw DSIR statistic
+    (length-correlated), ``avg_log_ratio`` the per-feature mean (length-
+    normalized), both rounded for engine-stable ranking."""
+    if raw is None:
+        raw = corpus
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens_expr(text_col)
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda g: g.contains(" "),
+        )
+        return df.select(
+            "doc_id", F.explode(F.concat(toks, pairs)).alias("gram")
+        ).select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 6), 16, 10)
+            .cast("long")
+            .__mod__(n_buckets)
+            .alias("b"),
+        )
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        counts = grams(df).groupBy("b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        total = counts.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
+        return counts.select(
+            "b",
+            F.log(
+                (F.col("c") + F.lit(1.0))
+                / F.lit(float(total + n_buckets))
+            ).alias(f"logp_{name}"),
+        ), float(total)
+
+    tgt, n_tgt = dist(target, "tgt")
+    rawd, n_raw = dist(raw, "raw")
+    # unseen-bucket log-probs are constants (add-one floor)
+    import math
+
+    floor_tgt = math.log(1.0 / (n_tgt + n_buckets))
+    floor_raw = math.log(1.0 / (n_raw + n_buckets))
+    ratio = (
+        tgt.join(rawd, "b", "outer")
+        .select(
+            "b",
+            (
+                F.coalesce("logp_tgt", F.lit(floor_tgt))
+                - F.coalesce("logp_raw", F.lit(floor_raw))
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        grams(corpus)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(ratio), "b", "left")
+        .select(
+            "doc_id",
+            "c",
+            (
+                F.col("c")
+                * F.coalesce(
+                    "log_ratio", F.lit(floor_tgt - floor_raw)
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum("contrib").alias("lw"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.round(F.coalesce("lw", F.lit(0.0)), round_to).alias(
+                "log_weight"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce("n_feats", F.lit(0)) > 0,
+                    F.col("lw") / F.col("n_feats"),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("avg_log_ratio"),
         )
     )

@@ -766,3 +766,29 @@ def test_ivfpq_topk_subset_and_recall(spark):
         for r in cosine_topk(emb, q, k=10).collect()
     }
     assert len(restricted & exact) / len(exact) >= 0.2
+
+
+# ------------------------------------------------------------------ DSIR
+def test_dsir_weights_select_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.functions.lm import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    means = {
+        r["lang"]: r["m"]
+        for r in w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    # the target language scores strictly above every other language
+    assert all(means["en"] > v for k, v in means.items() if k != "en")
+    # weights exist for every document
+    assert w.count() == docs.count()
+    # length-normalized and raw statistics agree in sign direction
+    row = w.filter(F.col("n_feats") > 0).first()
+    assert (row["log_weight"] > 0) == (row["avg_log_ratio"] > 0) or (
+        abs(row["avg_log_ratio"]) < 1e-9
+    )
