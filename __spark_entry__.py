@@ -1863,6 +1863,25 @@ def q_tfidf(spark, sf_dir):
     return tfidf_vectors(_docs(spark, sf_dir))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup keep policy: MinHash-LSH clusters with the
+    highest-quality member kept per cluster (ties to smallest doc_id);
+    singletons kept. Oracle composes the dedup_clusters closure with the
+    quality_score composite and the same per-cluster window."""
+    _prep(spark)
+    from jgtextrank_spark.functions.dedup import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n=NGRAM_N, bands=8, rows_per_band=2,
+        verify_threshold=JACCARD_T,
+    )
+    return dedup_keep_best(docs, pairs)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """MinHash-LSH pairs -> connected components -> canonical survivor:
     the end-to-end corpus-dedup composition (pair source and CC solver
@@ -2126,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "tfidf": q_tfidf,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_sampling": q_negative_sampling,
         "stratified_sample": q_stratified_sample,
@@ -5101,6 +5121,55 @@ comp AS (
 SELECT doc_id, canonical_doc,
        count(*) OVER (PARTITION BY canonical_doc)::BIGINT AS cluster_size
 FROM comp"""
+    d["dedup_keep_best"] = f"""
+WITH RECURSIVE cpairs AS (
+  SELECT doc_a, doc_b FROM ({_mh})
+),
+cadj AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM cpairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM cpairs
+  )
+),
+creach(v, lbl) AS (
+  SELECT src, src FROM cadj
+  UNION
+  SELECT a.dst, r.lbl FROM creach r JOIN cadj a ON a.src = r.v
+),
+comp AS (
+  SELECT v AS doc_id, min(lbl) AS canonical_doc FROM creach GROUP BY v
+),
+alldocs AS (
+  SELECT d.doc_id,
+         coalesce(c.canonical_doc, d.doc_id) AS canonical_doc
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+qual AS (
+  SELECT doc_id,
+         round(least(len(toks) / 20.0, 1.0)
+               * (CASE WHEN (length(text) - (len(toks) - 1))::DOUBLE
+                            / len(toks) BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END)
+               * (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(
+                              text, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                            / length(text)
+                       ELSE 0.0 END), 6) AS quality
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  )
+)
+SELECT f.doc_id, f.canonical_doc,
+       count(*) OVER (PARTITION BY f.canonical_doc)::BIGINT
+         AS cluster_size,
+       q.quality,
+       row_number() OVER (PARTITION BY f.canonical_doc
+                          ORDER BY q.quality DESC, f.doc_id ASC) = 1
+         AS keep
+FROM alldocs f JOIN qual q ON q.doc_id = f.doc_id"""
     # ---- DeepWalk corpus: skip-gram pairs + negative sampling -----------
     _wsql = _walks_sql(WALK_STEPS, WALK_SEED)
     d["skipgram_pairs"] = f"""

@@ -29,6 +29,7 @@ __all__ = [
     "strip_duplicate_spans",
     "paragraph_dedup",
     "dedup_clusters",
+    "dedup_keep_best",
     "dedup_filter",
 ]
 
@@ -693,3 +694,44 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "keep",
         F.col("_canon").isNull() | (F.col("_canon") == F.col("doc_id")),
     ).drop("_canon")
+
+
+def dedup_keep_best(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup resolution with a QUALITY-AWARE keep policy: resolve the
+    pair table into clusters (:func:`dedup_clusters`), score every
+    document (:func:`~jgtextrank_spark.functions.textstats.quality_score`
+    composite), and keep the highest-quality member of each cluster
+    (ties to the smallest doc_id) — the standard refinement over
+    keep-first dedup: when a page and its boilerplate-mangled mirror
+    collide, the clean copy survives. Docs in no pair are their own
+    singleton cluster and are kept.
+
+    Returns ``(doc_id, canonical_doc, cluster_size, quality, keep)``.
+    Scale shape: the pair-graph CC plus one broadcastable quality join
+    and one window keyed by cluster — nothing global."""
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    clusters = dedup_clusters(pairs)
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    full = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_doc", "doc_id").alias("canonical_doc"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("canonical_doc").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return full.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select("doc_id", "canonical_doc", "cluster_size", "quality", "keep")

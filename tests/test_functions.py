@@ -792,3 +792,24 @@ def test_dsir_weights_select_target_like_docs(spark):
     assert (row["log_weight"] > 0) == (row["avg_log_ratio"] > 0) or (
         abs(row["avg_log_ratio"]) < 1e-9
     )
+
+
+def test_dedup_keep_best_policy(spark):
+    from jgtextrank_spark.functions.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "@@ the quick brown fox ## jumps $$ over %%"),
+            (3, "completely unrelated text about graphs and spark"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    # doc 1 (clean) beats doc 2 (symbol-laden) in the shared cluster
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["canonical_doc"] == out[2]["canonical_doc"] == 1
+    assert out[1]["cluster_size"] == 2
+    # singleton kept
+    assert out[3]["keep"] and out[3]["cluster_size"] == 1
