@@ -226,6 +226,22 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "feature_hash": [
+        ("zero-shuffle gram explode + ONE partial-agg aggregation",
+         lambda p: "Join" not in p and p.count("Exchange") <= 2),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "dsir_weights": [
+        ("bucket log-ratio table broadcast (never shuffled against the"
+         " corpus)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("JVM-side only, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
     "pack_chunks": [
         ("per-shard window, never a global ordering: no single-partition"
          " exchange",
@@ -281,6 +297,7 @@ def main():
         "cocitation", "paragraph_dedup", "robots_filter",
         "betweenness_pages", "ppr_multi_seed", "fix_mojibake",
         "domain_stats", "pack_chunks", "pack_greedy",
+        "feature_hash", "dsir_weights",
     ]:
         df = qs[name](spark, sf_dir)
         p = plan_of(df)
