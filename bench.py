@@ -166,6 +166,39 @@ def bench_louvain(
     }
 
 
+def bench_leiden(
+    spark: SparkSession,
+    n_vertices: int = 200_000,
+    n_edges: int = 2_000_000,
+    levels: int = 2,
+    max_rounds: int = 6,
+) -> dict:
+    """Full Leiden loop (move + connectivity refinement + aggregate-on-
+    refinement) on the 2M-edge power-law graph, FIXED round budget per
+    level (the standard distributed-Louvain operating mode: the
+    md5-gated synchronous rule activates half the vertices per round, so
+    move counts decay geometrically — exact no-move convergence takes
+    ~10x the budget for marginal modularity). Refinement adds one CC
+    run per level on the intra-community edge subset."""
+    from jgtextrank_spark.algos.louvain import leiden
+
+    edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
+    edges.count()
+    t0 = time.time()
+    res = leiden(edges, levels=levels, max_rounds=max_rounds)
+    n_comms = res.assignment.select("community").distinct().count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return {
+        "vertices": n_vertices,
+        "levels": res.levels,
+        "rounds_per_level": res.rounds,
+        "communities": n_comms,
+        "converged": res.converged,
+        "wall_sec": round(wall, 3),
+    }
+
+
 def bench_hyperball(
     spark: SparkSession, n_vertices: int = 200_000, n_edges: int = 2_000_000,
     lg_k: int = 8,
@@ -552,6 +585,10 @@ def main() -> None:
     louv = bench_louvain(spark)
     queries["louvain_powerlaw_2m"] = louv["wall_sec"]
 
+    # full Leiden (move + refine + aggregate) on the same graph
+    leid = bench_leiden(spark)
+    queries["leiden_powerlaw_2m"] = leid["wall_sec"]
+
     # engine queries over the sf tables
     timed(
         "pagerank_docs_20it",
@@ -695,6 +732,7 @@ def main() -> None:
             "coreness_hindex": kcore,
             "hyperball": hb,
             "louvain": louv,
+            "leiden": leid,
             "scc_distributed": scc_detail,
             "pagerank_warm_start": warm_detail,
             "cc_incremental": cc_inc,
