@@ -44,6 +44,7 @@ __all__ = [
     "streaming_minhash_verified_writer",
     "streaming_minhash_dedup_sink",
     "streaming_pagerank_sink",
+    "streaming_communities_sink",
 ]
 
 # the north-rule input table shape (BASELINE.json input_hint)
@@ -590,6 +591,80 @@ def streaming_pagerank_sink(
         )
         res.state.select("vertex", "rank").write.mode("overwrite").parquet(
             f"{score_root}/batch_id={batch_id}"
+        )
+
+    return edge_stream.writeStream.foreachBatch(_sink).outputMode("append")
+
+
+def streaming_communities_sink(
+    edge_stream: DataFrame,
+    state_dir: str,
+    max_rounds: int = 30,
+    seed: str = "stream-louvain",
+):
+    """Continuous community tracking over a growing crawl: each
+    microbatch of ``(src, dst[, weight])`` rows lands in the same
+    batch_id-partitioned edge store as
+    :func:`streaming_pagerank_sink`, then ONE Louvain move phase runs
+    over the full aggregated graph WARM-STARTED from the previous
+    batch's assignment — the incremental-community pattern (tested in
+    test_algos.py: a warm start on a delta converges in a fraction of
+    the cold rounds at equal modularity). Vertices first seen in this
+    batch enter as singletons; the per-batch md5 gate seed is
+    ``{seed}:{batch_id}`` so re-runs of a batch are bit-identical.
+
+    Assignments land in ``<state_dir>/communities/batch_id=N``
+    (overwrite per partition — retry-idempotent, same exactly-once
+    mechanics as the engine's other streaming sinks)."""
+    import os
+
+    from .algos.louvain import louvain_move_phase
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = (
+            F.col("weight").cast("double")
+            if "weight" in batch_df.columns
+            else F.lit(1.0)
+        )
+        batch_df.select("src", "dst", w.alias("weight")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/edges/batch_id={batch_id}")
+        all_edges = (
+            spark.read.parquet(f"{state_dir}/edges")
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        verts = (
+            all_edges.select(F.col("src").alias("vertex"))
+            .unionByName(all_edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        init = None
+        root = f"{state_dir}/communities"
+        if os.path.isdir(root):
+            prior = [
+                int(name.split("=", 1)[1])
+                for name in os.listdir(root)
+                if name.startswith("batch_id=")
+            ]
+            prior = [b for b in prior if b != batch_id]
+            if prior:
+                last = spark.read.parquet(f"{root}/batch_id={max(prior)}")
+                # new vertices enter as singletons (init must be a
+                # COMPLETE assignment over the current vertex set)
+                init = verts.join(last, "vertex", "left").select(
+                    "vertex",
+                    F.coalesce("community", "vertex").alias("community"),
+                )
+        comm, _rounds, _conv, _ms = louvain_move_phase(
+            all_edges,
+            init=init,
+            max_rounds=max_rounds,
+            seed=f"{seed}:{batch_id}",
+        )
+        comm.select("vertex", "community").write.mode("overwrite").parquet(
+            f"{root}/batch_id={batch_id}"
         )
 
     return edge_stream.writeStream.foreachBatch(_sink).outputMode("append")

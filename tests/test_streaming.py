@@ -504,3 +504,74 @@ def test_streaming_pagerank_warm_equals_batch(spark, tmp_path):
     want = {r["vertex"]: r["rank"] for r in res.state.collect()}
     assert set(final) == set(want)
     assert all(abs(final[v] - want[v]) < 1e-6 for v in want)
+
+
+def test_streaming_communities_equal_batch_sequence(spark, tmp_path):
+    """The streamed two-batch community state equals the deterministic
+    batch-side equivalent: move phase on batch-1 edges, then a
+    warm-started move phase on the union with new vertices entering as
+    singletons, same per-batch seeds."""
+    from pyspark.sql import functions as F
+
+    from jgtextrank_spark.algos.louvain import louvain_move_phase
+    from jgtextrank_spark.streaming import streaming_communities_sink
+
+    drop = tmp_path / "cedges_in"
+    drop.mkdir()
+    state = str(tmp_path / "cstate")
+    b1 = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("x", "y", 1.0)]
+    b2 = [("y", "z", 1.0), ("x", "z", 1.0), ("c", "x", 1.0)]
+    spark.createDataFrame(b1, "src string, dst string, weight double").coalesce(
+        1
+    ).write.parquet(str(drop / "f1"))
+
+    def run_available():
+        stream = spark.readStream.schema(
+            "src string, dst string, weight double"
+        ).parquet(str(drop / "*"))
+        q = (
+            streaming_communities_sink(stream, state)
+            .option("checkpointLocation", str(tmp_path / "cck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()
+    spark.createDataFrame(b2, "src string, dst string, weight double").coalesce(
+        1
+    ).write.parquet(str(drop / "f2"))
+    run_available()
+
+    import os
+
+    batches = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{state}/communities")
+        if n.startswith("batch_id=")
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in spark.read.parquet(
+            f"{state}/communities/batch_id={batches[-1]}"
+        ).collect()
+    }
+
+    e1 = spark.createDataFrame(b1, "src string, dst string, weight double")
+    c1, _, _, _ = louvain_move_phase(e1, seed=f"stream-louvain:{batches[0]}")
+    full = spark.createDataFrame(
+        b1 + b2, "src string, dst string, weight double"
+    ).groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    verts = (
+        full.select(F.col("src").alias("vertex"))
+        .unionByName(full.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    init = verts.join(c1, "vertex", "left").select(
+        "vertex", F.coalesce("community", "vertex").alias("community")
+    )
+    c2, _, _, _ = louvain_move_phase(
+        full, init=init, seed=f"stream-louvain:{batches[-1]}"
+    )
+    want = {r["vertex"]: r["community"] for r in c2.collect()}
+    assert got == want
