@@ -2052,58 +2052,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "cooccur_edges": q_cooccur_edges,
-        "degree_centrality": q_degree_centrality,
-        "neighborhood_size": q_neighborhood_size,
-        "tergraph": q_tergraph,
-        "triangle_count": q_triangle_count,
-        "clustering_coefficient": q_clustering_coefficient,
-        "pagerank": q_pagerank,
-        "pagerank_salted": q_pagerank_salted,
-        "pagerank_encoded": q_pagerank_encoded,
-        "pagerank_personalized": q_pagerank_personalized,
-        "components_per_doc": q_components_per_doc,
-        "components_star_per_doc": q_components_star_per_doc,
-        "scc_per_doc": q_scc_per_doc,
-        "scc_tokens": q_scc_tokens,
-        "condensation_layers": q_condensation_layers,
-        "ktruss": q_ktruss,
-        "random_walks": q_random_walks,
-        "node2vec_walks": q_node2vec_walks,
-        "msf_forest": q_msf_forest,
-        "degree_distribution": q_degree_distribution,
-        "graph_stats": q_graph_stats,
-        "label_propagation": q_label_propagation,
-        "louvain": q_louvain,
-        "onion": q_onion,
-        "topo_layers": q_topo_layers,
-        "refine_hosts": q_refine_hosts,
-        "conductance_hosts": q_conductance_hosts,
-        "label_propagation_encoded": q_label_propagation_encoded,
-        "coreness": q_coreness,
-        "neighborhood_2": q_neighborhood_2,
-        "harmonic_approx": q_harmonic_approx,
-        "edge_diff": q_edge_diff,
-        "textrank_keywords": q_textrank_keywords,
-        "web_link_edges": q_web_link_edges,
-        "link_prediction": q_link_prediction,
-        "densest_subgraph": q_densest_subgraph,
-        "luby_mis": q_luby_mis,
-        "landmark_distances": q_landmark_distances,
-        "mirror_hosts": q_mirror_hosts,
-        "readability": q_readability,
-        "word_entropy": q_word_entropy,
-        "url_strip_tracking": q_url_strip_tracking,
-        "maximal_matching": q_maximal_matching,
-        "cocitation": q_cocitation,
-        "bib_coupling": q_bib_coupling,
-        "web_host_pagerank": q_web_host_pagerank,
-        "hits_hosts": q_hits_hosts,
-        "salsa_pages": q_salsa_pages,
-        "anchor_text": q_anchor_text,
-        "bowtie_pages": q_bowtie_pages,
-        "web_text_extract": q_web_text_extract,
-        "url_canonical": q_url_canonical,
+        # --- driver gate window: the CORRECTNESS harness checks the
+        # FIRST 50 entries. Round 5 rotates the 40 operators that had
+        # never received a driver check (added r3/r4 past the window)
+        # to the front, plus new r5 rows, plus sentinel rows that have
+        # been gate-green since r1/r2 for cross-round continuity.
         "bfs_depth": q_bfs_depth,
         "sssp_pages": q_sssp_pages,
         "redirect_resolution": q_redirect_resolution,
@@ -2114,32 +2067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
-        "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "fix_mojibake": q_fix_mojibake,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "top_tokens": q_top_tokens,
-        "prf_eval": q_prf_eval,
-        "lineitem_pricing": q_lineitem_pricing,
-        "orders_by_nation": q_orders_by_nation,
-        "events_daily": q_events_daily,
         "duplicate_spans": q_duplicate_spans,
         "strip_spans": q_strip_spans,
         "bm25_topk": q_bm25_topk,
@@ -2163,6 +2097,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "pmi_collocations": q_pmi_collocations,
         "closeness_per_doc": q_closeness_per_doc,
+        "pagerank": q_pagerank,
+        "textrank_keywords": q_textrank_keywords,
+        "components_per_doc": q_components_per_doc,
+        "cooccur_edges": q_cooccur_edges,
+        "scc_per_doc": q_scc_per_doc,
+        "louvain": q_louvain,
+        "hits_hosts": q_hits_hosts,
+        "web_host_pagerank": q_web_host_pagerank,
+        "degree_centrality": q_degree_centrality,
+        "neighborhood_size": q_neighborhood_size,
+        "tergraph": q_tergraph,
+        "triangle_count": q_triangle_count,
+        "clustering_coefficient": q_clustering_coefficient,
+        "pagerank_salted": q_pagerank_salted,
+        "pagerank_encoded": q_pagerank_encoded,
+        "pagerank_personalized": q_pagerank_personalized,
+        "components_star_per_doc": q_components_star_per_doc,
+        "scc_tokens": q_scc_tokens,
+        "condensation_layers": q_condensation_layers,
+        "ktruss": q_ktruss,
+        "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
+        "msf_forest": q_msf_forest,
+        "degree_distribution": q_degree_distribution,
+        "graph_stats": q_graph_stats,
+        "label_propagation": q_label_propagation,
+        "onion": q_onion,
+        "topo_layers": q_topo_layers,
+        "refine_hosts": q_refine_hosts,
+        "conductance_hosts": q_conductance_hosts,
+        "label_propagation_encoded": q_label_propagation_encoded,
+        "coreness": q_coreness,
+        "neighborhood_2": q_neighborhood_2,
+        "harmonic_approx": q_harmonic_approx,
+        "edge_diff": q_edge_diff,
+        "web_link_edges": q_web_link_edges,
+        "link_prediction": q_link_prediction,
+        "densest_subgraph": q_densest_subgraph,
+        "luby_mis": q_luby_mis,
+        "landmark_distances": q_landmark_distances,
+        "mirror_hosts": q_mirror_hosts,
+        "readability": q_readability,
+        "word_entropy": q_word_entropy,
+        "url_strip_tracking": q_url_strip_tracking,
+        "maximal_matching": q_maximal_matching,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
+        "salsa_pages": q_salsa_pages,
+        "anchor_text": q_anchor_text,
+        "bowtie_pages": q_bowtie_pages,
+        "web_text_extract": q_web_text_extract,
+        "url_canonical": q_url_canonical,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "top_tokens": q_top_tokens,
+        "prf_eval": q_prf_eval,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_nation": q_orders_by_nation,
+        "events_daily": q_events_daily,
     }
 
 
