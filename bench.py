@@ -710,38 +710,47 @@ def main() -> None:
         lambda: entrymod.q_cocitation(spark, sf_dir).count(),
     )
 
+    detail = {
+        "synthetic_graph": {
+            "vertices": pr["vertices"],
+            "edges": pr["edges"],
+        },
+        "supersteps": pr["supersteps"],
+        "converged": pr["converged"],
+        "mean_superstep_sec": round(pr["mean_superstep_sec"], 4),
+        "final_delta": pr["final_delta"],
+        "cpus": cpus,
+        "salted_pagerank_mean_superstep_sec": salted,
+        "cc_star_chain": cc_star,
+        "cc_star_contraction": cc_contract,
+        "coreness_hindex": kcore,
+        "hyperball": hb,
+        "louvain": louv,
+        "leiden": leid,
+        "scc_distributed": scc_detail,
+        "pagerank_warm_start": warm_detail,
+        "cc_incremental": cc_inc,
+        "msf_powerlaw": msf_detail,
+        "betweenness_sampled": bw_detail,
+        "ppr_multi_seed": ppr_detail,
+    }
     out = {
         "metric": "pagerank_edges_per_sec_per_superstep",
         "value": round(pr["edges_per_sec_per_superstep"], 1),
         "unit": "edges/sec",
         "queries": queries,
         "sf": sf,
-        "detail": {
-            "synthetic_graph": {
-                "vertices": pr["vertices"],
-                "edges": pr["edges"],
-            },
-            "supersteps": pr["supersteps"],
-            "converged": pr["converged"],
-            "mean_superstep_sec": round(pr["mean_superstep_sec"], 4),
-            "final_delta": pr["final_delta"],
-            "cpus": cpus,
-            "salted_pagerank_mean_superstep_sec": salted,
-            "cc_star_chain": cc_star,
-            "cc_star_contraction": cc_contract,
-            "coreness_hindex": kcore,
-            "hyperball": hb,
-            "louvain": louv,
-            "leiden": leid,
-            "scc_distributed": scc_detail,
-            "pagerank_warm_start": warm_detail,
-            "cc_incremental": cc_inc,
-            "msf_powerlaw": msf_detail,
-            "betweenness_sampled": bw_detail,
-            "ppr_multi_seed": ppr_detail,
-        },
+        "cpus": cpus,
+        "converged": pr["converged"],
+        "supersteps": pr["supersteps"],
     }
+    # Full detail goes to STDERR: the driver captures only the tail of
+    # stdout, and round 4's single fat line scrolled the headline out of
+    # the capture window ("parsed": null). Stdout stays exactly ONE
+    # compact JSON line, printed last.
+    print(json.dumps({**out, "detail": detail}), file=sys.stderr)
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
