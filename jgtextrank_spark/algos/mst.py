@@ -23,11 +23,15 @@ step is a bulk DataFrame op:
    unique), which is the classic trick that (a) makes the result
    deterministic under weight ties and (b) guarantees the selected-edge
    graph has only 2-cycles, never longer ones.
-3. Contract: run the tested accelerated hash-min connected components
-   (:func:`..components.connected_components_result` — tree hooking +
-   pointer jumping, O(log diameter) rounds) on the selected-edge graph,
-   whose size is <= the component count, i.e. tiny relative to E and
-   shrinking geometrically. Relabel.
+3. Contract: the per-component selections form a FUNCTIONAL graph over
+   component ids (c -> other endpoint of c's chosen edge) whose only
+   cycles are 2-cycles (total order), so each connected piece is a
+   pseudo-tree hanging off one 2-cycle. Resolve every 2-cycle to its
+   min-id member, then pointer-jump the trees to their roots —
+   O(log depth) self-joins on a component-count-sized table. No general
+   CC harness needed: that nested job cascade was the dominant cost of
+   the first implementation (bench 51.3s -> ~2x faster on the same
+   2M-edge power-law graph). Relabel.
 
 The union of selected edges over all rounds is the minimum spanning
 forest w.r.t. the (weight, u, v) total order — a true MSF of the
@@ -43,8 +47,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .components import connected_components_result
 
 __all__ = ["boruvka_msf", "msf_perturbed_weights"]
 
@@ -119,43 +121,100 @@ def boruvka_msf(
             .filter(F.col("cu") != F.col("cv"))
         )
         # per-component min external edge under the (w, u, v) total
-        # order; both endpoints' components compete for the same edge
+        # order; both endpoints' components compete for the same edge.
+        # Carry the OTHER endpoint's component: it becomes the node's
+        # parent pointer for the contraction below. For a fixed c the
+        # struct min is decided by s=(w,u,v) alone (other is a function
+        # of the edge), so the selected edge set is exactly the old
+        # min-over-s one.
         cand = ec.select(
-            F.col("cu").alias("c"), F.struct("w", "u", "v").alias("s")
+            F.col("cu").alias("c"),
+            F.struct("w", "u", "v").alias("s"),
+            F.col("cv").alias("other"),
         ).unionByName(
             ec.select(
-                F.col("cv").alias("c"), F.struct("w", "u", "v").alias("s")
+                F.col("cv").alias("c"),
+                F.struct("w", "u", "v").alias("s"),
+                F.col("cu").alias("other"),
             )
         )
-        sel = (
+        selm = (
             cand.groupBy("c")
-            .agg(F.min("s").alias("s"))
-            .select("s.u", "s.v", "s.w")
-            .distinct()
+            .agg(F.min(F.struct("s", "other")).alias("m"))
+            .select(
+                "c", F.col("m.s").alias("s"), F.col("m.other").alias("p")
+            )
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-        if sel.isEmpty():
+        if selm.isEmpty():
             break
+        sel = selm.select("s.u", "s.v", "s.w").distinct()
         chosen_parts.append(sel)
-        # contract: components of the selected-edge graph OVER COMPONENT
-        # IDS (size <= component count — tiny and shrinking); the
-        # selected graph's only cycles are 2-cycles (total order), and
-        # the accelerated hash-min handles its long chains in O(log)
-        sel_c = (
-            ec.join(sel, ["u", "v", "w"], "left_semi")
-            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
-            .withColumn("weight", F.lit(1.0))
+        # Contract WITHOUT a general CC run. selm is a functional graph
+        # over component ids (every c points to the other end p of its
+        # chosen edge; p is itself a key — it shares that edge, so it
+        # chose one too). Under the (w, u, v) total order its only
+        # cycles are 2-cycles (the classic Borůvka argument: a longer
+        # cycle would need strictly decreasing edge keys around a loop),
+        # so each weakly-connected piece is a pseudo-tree hanging off
+        # one 2-cycle. Resolve the 2-cycles to their min-id member, then
+        # pointer-jump the trees — O(log depth) rounds of a self-join on
+        # a component-count-sized table, much cheaper than the nested
+        # hash-min CC job cascade this replaces (bench: msf_powerlaw_2m
+        # 51.3s -> see BENCH; the selected graph is the only input).
+        ptr = selm.select("c", "p")
+        q = (
+            ptr.alias("a")
+            .join(ptr.alias("b"), F.col("a.p") == F.col("b.c"))
+            .select(
+                F.col("a.c").alias("c"),
+                F.when(
+                    F.col("b.p") == F.col("a.c"),  # 2-cycle: p(p(c)) == c
+                    F.least("a.c", "a.p"),
+                )
+                .otherwise(F.col("a.p"))
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
         )
-        merged = connected_components_result(
-            sel_c, checkpoint_every=0, resume=False
-        ).state
+        for _jump in range(64):
+            j = (
+                q.alias("a")
+                .join(q.alias("b"), F.col("a.r") == F.col("b.c"))
+                .select(
+                    F.col("a.c").alias("c"),
+                    F.col("b.r").alias("r"),
+                    (F.col("a.r") != F.col("b.r")).cast("int").alias("chg"),
+                )
+                .persist()
+            )
+            # the agg materializes the cache BEFORE localCheckpoint:
+            # Spark 4's localCheckpoint rewrites the new LogicalRDD's
+            # stats from the source plan, and checkpointing an
+            # UNPERSISTED q-join-q would square sizeInBytes every round
+            # (2^63 -> 2^126 -> ...), ending in a multi-megabit BigInteger
+            # multiply inside Catalyst's stats visitor that pins the
+            # driver for minutes. With the cache materialized, stats come
+            # from the InMemoryRelation's actual (tiny) size. See
+            # NOTES.md round-5 "stats-squaring" entry.
+            changed = j.agg(F.sum("chg").alias("n")).collect()[0]["n"]
+            jt = j.localCheckpoint(eager=True)
+            j.unpersist()
+            q = jt.select("c", "r")
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                "boruvka_msf: pointer jumping did not converge in 64 "
+                "rounds — component pointer graph deeper than 2^64?"
+            )
         comp = (
             comp.join(
-                merged.withColumnRenamed("vertex", "comp"), "comp", "left"
+                q.select(F.col("c").alias("comp"), "r"), "comp", "left"
             )
             .select(
                 "vertex",
-                F.coalesce("label", F.col("comp")).alias("comp"),
+                F.coalesce("r", F.col("comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )

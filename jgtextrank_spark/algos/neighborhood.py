@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..supersteps import SuperstepResult, run_supersteps
 
 __all__ = [
@@ -181,12 +182,16 @@ def hyperball_result(
         if checkpoint_dir
         else None
     )
-    if totals_path and os.path.exists(totals_path):
+    if totals_path and fsutil.exists(spark, totals_path):
         if resume:
-            with open(totals_path) as fh:
-                totals = {int(k): float(v) for k, v in json.load(fh).items()}
+            totals = {
+                int(k): float(v)
+                for k, v in json.loads(
+                    fsutil.read_text(spark, totals_path)
+                ).items()
+            }
         else:
-            os.remove(totals_path)  # fresh run: drop stale totals
+            fsutil.delete(spark, totals_path)  # fresh run: drop stale totals
 
     def step(state: DataFrame, it: int):
         nb = (
@@ -231,11 +236,11 @@ def hyperball_result(
         ).collect()[0]
         totals[it] = float(row["total"] or 0.0)
         if totals_path:
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            tmp = totals_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump({str(k): v for k, v in totals.items()}, fh)
-            os.replace(tmp, totals_path)
+            fsutil.replace_text(
+                spark,
+                totals_path,
+                json.dumps({str(k): v for k, v in totals.items()}),
+            )
         return new_state, float(row["changed"] or 0)
 
     result = run_supersteps(

@@ -48,6 +48,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import fsutil
+
 __all__ = [
     "strongly_connected_components",
     "strongly_connected_components_result",
@@ -78,18 +80,19 @@ def strongly_connected_components_result(
     return out, metrics
 
 
-def _find_scc_resume(checkpoint_dir: str):
+def _find_scc_resume(spark, checkpoint_dir: str):
     """Newest outer-round checkpoint with a valid meta file, or None.
     Meta is written LAST, so its presence marks all three tables
-    complete (same contract as supersteps._find_resume_point)."""
-    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+    complete (same contract as supersteps._find_resume_point). Listing
+    and meta reads go through the Hadoop FileSystem API (fsutil) so the
+    checkpoint_dir may live on HDFS/S3 alongside the parquet tables."""
+    if not checkpoint_dir:
         return None
     best = None
-    for name in sorted(os.listdir(checkpoint_dir)):
+    for name in fsutil.list_dir(spark, checkpoint_dir):
         meta_path = os.path.join(checkpoint_dir, name, "_scc_meta.json")
-        if name.startswith("scc_outer_") and os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+        if name.startswith("scc_outer_") and fsutil.exists(spark, meta_path):
+            meta = json.loads(fsutil.read_text(spark, meta_path))
             best = (meta["outer"], os.path.join(checkpoint_dir, name), meta)
     return best
 
@@ -148,7 +151,7 @@ def strongly_connected_components(
 
     start_outer = 0
     if checkpoint_dir and resume:
-        found = _find_scc_resume(checkpoint_dir)
+        found = _find_scc_resume(spark, checkpoint_dir)
         if found is not None:
             start_outer, path, meta = found
             V = _ckpt(spark.read.parquet(os.path.join(path, "v")))
@@ -178,8 +181,9 @@ def strongly_connected_components(
             "partitions": num_partitions,
         }
         # meta last: its presence marks the three tables as complete
-        with open(os.path.join(path, "_scc_meta.json"), "w") as fh:
-            json.dump(meta, fh)
+        fsutil.write_text(
+            spark, os.path.join(path, "_scc_meta.json"), json.dumps(meta)
+        )
         _rec(event="checkpoint", outer=outer, **{
             k: v for k, v in meta.items() if k != "outer"
         })

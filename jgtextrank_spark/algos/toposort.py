@@ -118,16 +118,13 @@ def topological_layers(
             "of a cycle (condense SCCs first, or pass allow_cycles=True "
             "to get layer=NULL for them)"
         )
-    # the last productive round is depth; the final zero-assign round is
-    # the convergence probe
-    depth = max(
-        (
-            int(m["delta"] and m["iteration"])
-            for m in res.metrics
-            if m["event"] in ("step", "checkpoint") and m.get("delta")
-        ),
-        default=0,
-    )
+    # depth comes from the STATE (max assigned layer + 1), not from this
+    # run's metrics: after a checkpoint resume the pre-resume productive
+    # rounds are absent from res.metrics, so a metrics-derived depth
+    # would underreport (e.g. 0 when the resume lands after the last
+    # productive round) even though the layers themselves are correct.
+    max_layer = res.state.agg(F.max("layer").alias("m")).collect()[0]["m"]
+    depth = int(max_layer) + 1 if max_layer is not None else 0
     e.unpersist()
     return TopoResult(
         layers=res.state,

@@ -549,8 +549,7 @@ def streaming_pagerank_sink(
 
     Returns the configured writer — call
     ``.option("checkpointLocation", ...).trigger(...).start()``."""
-    import os
-
+    from . import fsutil
     from .algos.pagerank import pagerank_result
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -570,17 +569,20 @@ def streaming_pagerank_sink(
         )
         init = None
         score_root = f"{state_dir}/scores"
-        if os.path.isdir(score_root):
-            prior = [
-                int(name.split("=", 1)[1])
-                for name in os.listdir(score_root)
-                if name.startswith("batch_id=")
-            ]
-            prior = [b for b in prior if b != batch_id]
-            if prior:
-                init = spark.read.parquet(
-                    f"{score_root}/batch_id={max(prior)}"
-                ).select(F.col("vertex").alias("id"), "rank")
+        # prior-state discovery via the Hadoop FileSystem API: with
+        # state_dir on HDFS/S3 (the normal deployment) an os.listdir of
+        # the driver's local disk would silently return nothing and
+        # every batch would cold-start
+        prior = [
+            int(name.split("=", 1)[1])
+            for name in fsutil.list_dir(spark, score_root)
+            if name.startswith("batch_id=")
+        ]
+        prior = [b for b in prior if b != batch_id]
+        if prior:
+            init = spark.read.parquet(
+                f"{score_root}/batch_id={max(prior)}"
+            ).select(F.col("vertex").alias("id"), "rank")
         res, _n = pagerank_result(
             all_edges,
             alpha=alpha,
@@ -616,8 +618,7 @@ def streaming_communities_sink(
     Assignments land in ``<state_dir>/communities/batch_id=N``
     (overwrite per partition — retry-idempotent, same exactly-once
     mechanics as the engine's other streaming sinks)."""
-    import os
-
+    from . import fsutil
     from .algos.louvain import louvain_move_phase
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -642,21 +643,21 @@ def streaming_communities_sink(
         )
         init = None
         root = f"{state_dir}/communities"
-        if os.path.isdir(root):
-            prior = [
-                int(name.split("=", 1)[1])
-                for name in os.listdir(root)
-                if name.startswith("batch_id=")
-            ]
-            prior = [b for b in prior if b != batch_id]
-            if prior:
-                last = spark.read.parquet(f"{root}/batch_id={max(prior)}")
-                # new vertices enter as singletons (init must be a
-                # COMPLETE assignment over the current vertex set)
-                init = verts.join(last, "vertex", "left").select(
-                    "vertex",
-                    F.coalesce("community", "vertex").alias("community"),
-                )
+        # same Hadoop-FS discovery rationale as the PageRank sink
+        prior = [
+            int(name.split("=", 1)[1])
+            for name in fsutil.list_dir(spark, root)
+            if name.startswith("batch_id=")
+        ]
+        prior = [b for b in prior if b != batch_id]
+        if prior:
+            last = spark.read.parquet(f"{root}/batch_id={max(prior)}")
+            # new vertices enter as singletons (init must be a COMPLETE
+            # assignment over the current vertex set)
+            init = verts.join(last, "vertex", "left").select(
+                "vertex",
+                F.coalesce("community", "vertex").alias("community"),
+            )
         comm, _rounds, _conv, _ms = louvain_move_phase(
             all_edges,
             init=init,

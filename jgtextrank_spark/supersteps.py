@@ -33,6 +33,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fsutil
+
 __all__ = ["SuperstepResult", "run_supersteps"]
 
 
@@ -53,15 +55,17 @@ def _checkpoint_path(checkpoint_dir: str, iteration: int) -> str:
 
 
 def _find_resume_point(spark: SparkSession, checkpoint_dir: str):
-    """Newest checkpoint with a valid meta file, or None."""
-    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+    """Newest checkpoint with a valid meta file, or None. Discovery goes
+    through the Hadoop FileSystem API (fsutil) so checkpoint_dir may live
+    on HDFS/S3 — os.listdir on the driver's local disk would silently
+    find nothing there and every run would cold-start."""
+    if not checkpoint_dir:
         return None
     best = None
-    for name in sorted(os.listdir(checkpoint_dir)):
+    for name in fsutil.list_dir(spark, checkpoint_dir):
         meta_path = os.path.join(checkpoint_dir, name, "_superstep_meta.json")
-        if name.startswith("superstep_") and os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+        if name.startswith("superstep_") and fsutil.exists(spark, meta_path):
+            meta = json.loads(fsutil.read_text(spark, meta_path))
             best = (meta["iteration"], os.path.join(checkpoint_dir, name), meta)
     return best
 
@@ -150,10 +154,11 @@ def run_supersteps(
                     "partitions": state.rdd.getNumPartitions(),
                     "schema": state.schema.jsonValue(),
                 }
-                with open(
-                    os.path.join(path, "_superstep_meta.json"), "w"
-                ) as fh:
-                    json.dump(meta, fh)
+                fsutil.write_text(
+                    spark,
+                    os.path.join(path, "_superstep_meta.json"),
+                    json.dumps(meta),
+                )
                 # reload from the durable checkpoint (also truncates lineage
                 # to a plain parquet scan)
                 state = spark.read.parquet(os.path.join(path, "state"))
