@@ -40,6 +40,8 @@ ANN_K = 5
 ONION_ROUNDS = 20  # onion gate: unrolled peel rounds (no-op past fixpoint)
 LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
+LEIDEN_ROUNDS = 3  # leiden gate: fixed move rounds PER LEVEL (2 levels)
+LEIDEN_SEED = "gate-leiden"
 PQ_M = 8  # PQ gate: subvector blocks
 _PQ_SUB = 64 // PQ_M  # embeddings are 64-dim (TESTDATA.md)
 PQ_CODES = 16  # PQ gate: codewords per block
@@ -492,6 +494,30 @@ def q_louvain(spark, sf_dir):
     return comm.select("vertex", "community")
 
 
+def q_leiden(spark, sf_dir):
+    """Full composed Leiden loop (Traag et al. 2019) on the documents
+    token graph: TWO levels, each a fixed-round md5-gated Louvain move
+    phase followed by connectivity refinement, aggregate-on-refinement
+    contraction between levels (coarse vertices keep their move-phase
+    communities as init), then the final map-through and connectivity
+    pass — so every returned community is connected. The DuckDB oracle
+    unrolls the ENTIRE composition bit-exactly: both levels' HUGEINT
+    move algebra, the three refinement closures as recursive CTEs, the
+    piece contraction, and the init'd second level. This is the gate
+    row for the composed loop (move phase alone is gated by `louvain`,
+    refinement alone by `refine_hosts`)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.louvain import leiden
+
+    res = leiden(
+        _doc_edges(spark, sf_dir),
+        levels=2,
+        fixed_rounds=LEIDEN_ROUNDS,
+        seed=LEIDEN_SEED,
+    )
+    return res.assignment.select("vertex", "community")
+
+
 def q_conductance_hosts(spark, sf_dir):
     """Per-community conductance (cut / min-side volume) of the HOST
     partition of the synthesized page link graph — how self-contained
@@ -650,6 +676,28 @@ def q_textrank_keywords(spark, sf_dir):
     )
     return keywords_from_sentences(
         build_sentences(pages), window=2, weight_comb="sum",
+        top_p=1.0, per_doc_collapse=True,
+    )
+
+
+def q_textrank_gcvalue(spark, sf_dir):
+    """The same raw-text pipeline weighted by GC-Value (reference
+    metrics.py:303-369): termhood from the containment self-join (the
+    rarest-token prefix-filtered join, hot-token-proof — the engine's
+    sub-quadratic path), log2(|a|+0.1) length factor, nested-occurrence
+    mean subtraction. Checked against a committed REFERENCE-GENERATED
+    golden (goldens/textrank_gcvalue_sf0.01.parquet, built by
+    scripts/make_goldens.py with the same sentinel-isolation trick as
+    the `sum` golden and verified exact at generation time)."""
+    _prep(spark)
+    from jgtextrank_spark.corpus import build_sentences
+    from jgtextrank_spark.textrank import keywords_from_sentences
+
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return keywords_from_sentences(
+        build_sentences(pages), window=2, weight_comb="gcvalue",
         top_p=1.0, per_doc_collapse=True,
     )
 
@@ -2099,10 +2147,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_per_doc": q_closeness_per_doc,
         "pagerank": q_pagerank,
         "textrank_keywords": q_textrank_keywords,
+        "textrank_gcvalue": q_textrank_gcvalue,
         "components_per_doc": q_components_per_doc,
         "cooccur_edges": q_cooccur_edges,
         "scc_per_doc": q_scc_per_doc,
         "louvain": q_louvain,
+        "leiden": q_leiden,
+        # top_tokens/prf_eval were last driver-checked in r3 under a
+        # different window: rotate them back in (VERDICT r4 item 10)
+        "top_tokens": q_top_tokens,
+        "prf_eval": q_prf_eval,
         "hits_hosts": q_hits_hosts,
         "web_host_pagerank": q_web_host_pagerank,
         "degree_centrality": q_degree_centrality,
@@ -2163,8 +2217,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
-        "top_tokens": q_top_tokens,
-        "prf_eval": q_prf_eval,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_nation": q_orders_by_nation,
         "events_daily": q_events_daily,
@@ -3258,6 +3310,183 @@ c{r} AS MATERIALIZED (
     )
 
 
+def _leiden_move_ctes(p: str, e: str, init: str | None, rounds: int, seed: str) -> str:
+    """CTE block for ONE Leiden level's fixed-round Louvain move phase
+    over edge CTE ``e`` (src, dst, w); every name is prefixed ``p`` so
+    two instantiations coexist in one query. ``init`` names a
+    (vertex, community) CTE to start from (level 2's piece->community),
+    None starts from singletons. Mirrors algos/louvain.py
+    louvain_move_phase bit-exactly: canonical undirected sum -> mirror
+    (handles the contracted graph's (a,b)/(b,a) parallel rows), self-
+    loop-aware strengths k_v, md5-parity activity gate, HUGEINT gain
+    argmax with (s DESC, c ASC) tie-break, strict-improvement moves."""
+    c0_body = (
+        f"SELECT kv.vertex, i.community FROM {p}kv kv "
+        f"JOIN {init} i ON i.vertex = kv.vertex"
+        if init
+        else f"SELECT vertex, vertex AS community FROM {p}kv"
+    )
+    blocks = [
+        f"""
+{p}canon AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, sum(w) AS w
+  FROM {e} WHERE src <> dst GROUP BY 1, 2
+),
+{p}mirror AS MATERIALIZED (
+  SELECT u AS a, v AS b, w FROM {p}canon
+  UNION ALL
+  SELECT v AS a, u AS b, w FROM {p}canon
+),
+{p}selfw AS (
+  SELECT src AS vertex, sum(w) AS sw FROM {e}
+  WHERE src = dst GROUP BY src
+),
+{p}kv AS MATERIALIZED (
+  SELECT coalesce(n.vertex, s.vertex) AS vertex,
+         coalesce(n.kn, 0) + 2.0 * coalesce(s.sw, 0) AS k
+  FROM (SELECT a AS vertex, sum(w) AS kn FROM {p}mirror GROUP BY a) n
+  FULL JOIN {p}selfw s ON s.vertex = n.vertex
+),
+{p}m2 AS (SELECT round(sum(k))::HUGEINT AS m2i FROM {p}kv),
+{p}c0 AS MATERIALIZED ({c0_body})"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"""
+{p}vol{r} AS (
+  SELECT p.community, sum(kv.k) AS vol
+  FROM {p}c{r - 1} p JOIN {p}kv kv ON kv.vertex = p.vertex
+  GROUP BY p.community
+),
+{p}active{r} AS MATERIALIZED (
+  SELECT p.vertex, p.community, kv.k
+  FROM {p}c{r - 1} p JOIN {p}kv kv ON kv.vertex = p.vertex
+  WHERE ('0x' || substring(md5('{seed}:{r}:' || p.vertex), 1, 2))::INT
+        % 2 = 0
+),
+{p}cand{r} AS (
+  SELECT vertex, c, sum(kvc) AS kvc FROM (
+    SELECT m.a AS vertex, p.community AS c, m.w AS kvc
+    FROM {p}mirror m
+    JOIN {p}active{r} act ON act.vertex = m.a
+    JOIN {p}c{r - 1} p ON p.vertex = m.b
+    UNION ALL
+    SELECT vertex, community AS c, 0.0 FROM {p}active{r}
+  ) GROUP BY vertex, c
+),
+{p}moves{r} AS (
+  SELECT vertex, c AS new_c FROM (
+    SELECT s.vertex, s.c, s.s,
+           max(CASE WHEN s.c = s.community THEN s.s END)
+             OVER (PARTITION BY s.vertex) AS cs,
+           row_number() OVER (PARTITION BY s.vertex
+                              ORDER BY s.s DESC, s.c ASC) AS rn
+    FROM (
+      SELECT cd.vertex, cd.c, a.community,
+             (SELECT m2i FROM {p}m2) * round(cd.kvc)::HUGEINT
+             - round(a.k)::HUGEINT
+               * (round(v.vol)::HUGEINT
+                  - CASE WHEN cd.c = a.community
+                         THEN round(a.k)::HUGEINT
+                         ELSE 0::HUGEINT END) AS s
+      FROM {p}cand{r} cd
+      JOIN {p}active{r} a ON a.vertex = cd.vertex
+      JOIN {p}vol{r} v ON v.community = cd.c
+    ) s
+  ) WHERE rn = 1 AND s > cs
+),
+{p}c{r} AS MATERIALIZED (
+  SELECT p.vertex, coalesce(mv.new_c, p.community) AS community
+  FROM {p}c{r - 1} p LEFT JOIN {p}moves{r} mv ON mv.vertex = p.vertex
+)"""
+        )
+    return ",".join(blocks)
+
+
+def _refine_ctes(p: str, e: str, lab: str) -> str:
+    """Connectivity-refinement closure (mirrors algos/louvain.py
+    refine_partition): split each community of ``lab`` (vertex,
+    community) into its connected pieces over ``e``'s intra-community
+    edges; ``{p}refined`` = (vertex, piece) where piece = min member id,
+    no-intra-edge vertices become singletons. Non-recursive bodies avoid
+    top-level UNION (the WITH RECURSIVE dedup footgun, NOTES.md)."""
+    return f"""
+{p}intra AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT e.src, e.dst FROM {e} e
+    JOIN {lab} a ON a.vertex = e.src
+    JOIN {lab} b ON b.vertex = e.dst
+    WHERE a.community = b.community AND e.src <> e.dst
+    UNION ALL
+    SELECT e.dst AS src, e.src AS dst FROM {e} e
+    JOIN {lab} a ON a.vertex = e.src
+    JOIN {lab} b ON b.vertex = e.dst
+    WHERE a.community = b.community AND e.src <> e.dst
+  )
+),
+{p}reach(v, lbl) AS (
+  SELECT src, src FROM {p}intra
+  UNION
+  SELECT i.dst, r.lbl FROM {p}reach r JOIN {p}intra i ON i.src = r.v
+),
+{p}cc AS (SELECT v, min(lbl) AS piece FROM {p}reach GROUP BY v),
+{p}refined AS MATERIALIZED (
+  SELECT l.vertex, coalesce(cc.piece, l.vertex) AS piece
+  FROM {lab} l LEFT JOIN {p}cc cc ON cc.v = l.vertex
+)"""
+
+
+def _leiden_sql(rounds: int, seed: str) -> str:
+    """Bit-exact replay of algos/louvain.py leiden(levels=2,
+    fixed_rounds=rounds): level-1 move unroll on the token graph,
+    refinement closure, aggregate-on-refinement contraction over the
+    PIECES, level-2 move unroll starting from the pieces' move-phase
+    communities (init), level-2 refinement, map-through to original
+    vertices, and the final connectivity pass whose min-member piece ids
+    are the returned communities. Three recursive closures coexist in
+    one WITH RECURSIVE; the move algebra is the same HUGEINT unroll the
+    `louvain` oracle uses (no float compare in any decision path)."""
+    R = rounds
+    parts = [
+        _EDGES,
+        "e0 AS (SELECT src, dst, weight AS w FROM edges)",
+        _leiden_move_ctes("l1", "e0", None, R, f"{seed}:L1"),
+        _refine_ctes("r1", "e0", f"l1c{R}"),
+        f"""
+pc1 AS (
+  SELECT DISTINCT r.piece AS vertex, c.community
+  FROM r1refined r JOIN l1c{R} c ON c.vertex = r.vertex
+),
+e1 AS MATERIALIZED (
+  SELECT ru.piece AS src, rv.piece AS dst, sum(e.w) AS w
+  FROM e0 e
+  JOIN r1refined ru ON ru.vertex = e.src
+  JOIN r1refined rv ON rv.vertex = e.dst
+  GROUP BY 1, 2
+)""",
+        _leiden_move_ctes("l2", "e1", "pc1", R, f"{seed}:L2"),
+        _refine_ctes("r2", "e1", f"l2c{R}"),
+        f"""
+map2 AS (
+  SELECT m.vertex, r2.piece AS piece FROM r1refined m
+  JOIN r2refined r2 ON r2.vertex = m.piece
+),
+pf AS (
+  SELECT DISTINCT r2.piece, c.community
+  FROM r2refined r2 JOIN l2c{R} c ON c.vertex = r2.vertex
+),
+asg AS (
+  SELECT m.vertex, pf.community FROM map2 m JOIN pf ON pf.piece = m.piece
+)""",
+        _refine_ctes("fr", "e0", "asg"),
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + "\nSELECT vertex, piece AS community FROM frrefined"
+    )
+
+
 def _simhash_sql(max_hamming: int, bits: int = 48, block_bits: int = 12) -> str:
     """Bit-exact replay of functions/dedup.py simhash_near_dup_pairs:
     token hash = first 12 hex chars of md5 as a 48-bit int, frequency-
@@ -3605,6 +3834,10 @@ LEFT JOIN tc ON tc.vertex = av.vertex""",
         "textrank_keywords": (
             "SELECT term, score FROM "
             "read_parquet('/root/repo/goldens/textrank_sf0.01.parquet')"
+        ),
+        "textrank_gcvalue": (
+            "SELECT term, score FROM "
+            "read_parquet('/root/repo/goldens/textrank_gcvalue_sf0.01.parquet')"
         ),
         "msf_forest": (
             "SELECT u, v, weight FROM "
@@ -3986,6 +4219,8 @@ sizes AS (
 ok AS (SELECT h.host, h.fp FROM hfp h JOIN sizes s ON s.host = h.host),
 rare AS (SELECT fp FROM ok GROUP BY fp HAVING count(*) <= 1000),
 idx AS (SELECT o.host, o.fp FROM ok o JOIN rare r ON r.fp = o.fp),
+-- denominators from the FILTERED index (same universe as the numerator)
+fsizes AS (SELECT host, count(*) AS n_fp FROM idx GROUP BY host),
 inter AS (
   SELECT a.host AS host_a, b.host AS host_b, count(*) AS common
   FROM idx a JOIN idx b ON a.fp = b.fp AND a.host < b.host
@@ -3994,8 +4229,8 @@ inter AS (
 SELECT host_a, host_b, common,
        round(common / (sa.n_fp + sb.n_fp - common)::DOUBLE, 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.host = host_a
-JOIN sizes sb ON sb.host = host_b
+JOIN fsizes sa ON sa.host = host_a
+JOIN fsizes sb ON sb.host = host_b
 WHERE round(common / (sa.n_fp + sb.n_fp - common)::DOUBLE, 6) >= 0.02""",
         "dedup_exact": f"""
 WITH fp AS (SELECT doc_id, {fp_norm} AS fp FROM documents)
@@ -4073,6 +4308,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         ),
         "label_propagation": _lpa_sql(10),
         "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
+        "leiden": _leiden_sql(LEIDEN_ROUNDS, LEIDEN_SEED),
         # connectivity refinement of the host partition: transitive
         # closure restricted to intra-host edges, piece id = min member;
         # singletons = vertices with no intra-host edge (NOTE the

@@ -14,8 +14,13 @@ so every round is **deterministic and exactly replayable in SQL**:
   ``s(c) = 2m * k_{v,c} - k_v * (vol(c) - [c = cur] * k_v)``
   (the gain formula scaled by the positive constant 2m²; γ=1). No
   float compare anywhere in the decision path — ties break to the
-  smallest community id. Computed over decimal(38,0)/HUGEINT, so no
-  overflow up to web scale.
+  smallest community id. The comparison arithmetic runs over
+  decimal(38,0)/HUGEINT; the upstream aggregates (2m, k_v, vol, k_{v,c})
+  are double sums rounded to integers, so the end-to-end exactness
+  guarantee holds while TOTAL edge weight stays below 2^53 (doubles
+  represent every integer exactly up to there — ~9e15, comfortably past
+  a 10^12-edge unit-weight graph; beyond that, aggregate weights as
+  longs before calling in).
 * **Hash-gated activity.** Synchronous best-move for ALL vertices can
   oscillate (two adjacent vertices swapping forever). Each round only
   vertices with md5(seed:round:v) even are allowed to move — the
@@ -139,13 +144,21 @@ def louvain_move_phase(
     kv = kv.persist()
     m2 = kv.agg(F.sum("k").alias("s")).collect()[0]["s"] or 0.0
     if m2 <= 0:
+        # no modularity signal (empty / zero-weight / self-loop-only
+        # graph): no move can change the objective, so return the start
+        # assignment unchanged — the provided init when there is one
+        # (inner-joined to the vertex set, same contract as below),
+        # singletons otherwise.
         verts = kv.select("vertex")
-        return (
-            verts.select("vertex", F.col("vertex").alias("community")),
-            0,
-            True,
-            [],
-        )
+        if init is not None:
+            start = verts.join(
+                init.select("vertex", "community"), "vertex"
+            )
+        else:
+            start = verts.select(
+                "vertex", F.col("vertex").alias("community")
+            )
+        return start, 0, True, []
     m2i = int(round(m2))
     n_verts = kv.count()
     bcast = n_verts <= broadcast_threshold
@@ -419,6 +432,7 @@ def leiden(
     edges: DataFrame,
     levels: int = 3,
     max_rounds: int = 30,
+    fixed_rounds: int | None = None,
     seed: str = "leiden",
     checkpoint_dir: str | None = None,
 ) -> LouvainResult:
@@ -434,7 +448,12 @@ def leiden(
     returned community is CONNECTED — the paper's headline guarantee
     (splitting a disconnected community strictly increases modularity,
     so the final pass never hurts the objective). Deterministic
-    throughout (md5-gated moves, min-id piece labels)."""
+    throughout (md5-gated moves, min-id piece labels). ``fixed_rounds``
+    forces an exact per-level move-round count — the same bit-exact
+    replay hook as :func:`louvain_move_phase`, so a fixed-round run is
+    SQL-unrollable end to end (the gate's ``leiden`` oracle does
+    exactly that: two levels of the move unroll, the refinement
+    closures, the piece contraction, and the final map-through)."""
     mapping: DataFrame | None = None  # vertex -> current refined piece
     cur_edges = edges
     init: DataFrame | None = None
@@ -448,6 +467,7 @@ def leiden(
             cur_edges,
             init=init,
             max_rounds=max_rounds,
+            fixed_rounds=fixed_rounds,
             seed=f"{seed}:L{lv}",
             checkpoint_dir=(
                 f"{checkpoint_dir}/level{lv}" if checkpoint_dir else None

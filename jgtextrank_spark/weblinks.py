@@ -680,6 +680,12 @@ def mirror_host_pairs(
         .select("fp")
     )
     idx = ok.join(rare, "fp", "semi")
+    # jaccard denominators come from the FILTERED index, so numerator
+    # and denominator see the same fingerprint universe — sizing from
+    # the pre-filter sets would systematically underestimate jaccard
+    # (silently tightening the threshold) whenever max_fp_hosts drops a
+    # hot fingerprint. min_pages gating above stays on raw page counts.
+    fsizes = idx.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
     inter = (
         idx.select(F.col("host").alias("host_a"), "fp")
         .join(idx.select(F.col("host").alias("host_b"), "fp"), "fp")
@@ -689,11 +695,15 @@ def mirror_host_pairs(
     )
     out = (
         inter.join(
-            sizes.select(F.col("host").alias("host_a"), F.col("n_fp").alias("na")),
+            fsizes.select(
+                F.col("host").alias("host_a"), F.col("n_fp").alias("na")
+            ),
             "host_a",
         )
         .join(
-            sizes.select(F.col("host").alias("host_b"), F.col("n_fp").alias("nb")),
+            fsizes.select(
+                F.col("host").alias("host_b"), F.col("n_fp").alias("nb")
+            ),
             "host_b",
         )
         .select(

@@ -99,7 +99,7 @@ def make_coreness(spark, entrymod, sf_dir: str, out: Path):
     _write(got, out)
 
 
-def make_textrank(spark, entrymod, sf_dir: str, out: Path):
+def make_textrank(spark, entrymod, sf_dir: str, out: Path, weight_comb="sum"):
     from jgtextrank import keywords_extraction_from_tagged_corpus
     from jgtextrank_spark.corpus import build_sentences
     from pyspark.sql import functions as F
@@ -123,11 +123,17 @@ def make_textrank(spark, entrymod, sf_dir: str, out: Path):
     tagged_stream.append(sentinel)
 
     sorted_terms, _ = keywords_extraction_from_tagged_corpus(
-        tagged_stream, lemma=False, window=2, weight_comb="sum", top_p=1.0
+        tagged_stream, lemma=False, window=2, weight_comb=weight_comb,
+        top_p=1.0,
     )
     want = dict(sorted_terms)
 
-    got_df = entrymod.q_textrank_keywords(spark, sf_dir).persist()
+    query = (
+        entrymod.q_textrank_keywords
+        if weight_comb == "sum"
+        else entrymod.q_textrank_gcvalue
+    )
+    got_df = query(spark, sf_dir).persist()
     got = {r["term"]: r["score"] for r in got_df.collect()}
     missing = set(want) - set(got)
     extra = set(got) - set(want)
@@ -222,12 +228,33 @@ def main():
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     gold_dir = REPO / "goldens"
     gold_dir.mkdir(exist_ok=True)
-    make_coreness(spark, entrymod, sf_dir, gold_dir / f"coreness_{sf_tag}.parquet")
-    make_textrank(spark, entrymod, sf_dir, gold_dir / f"textrank_{sf_tag}.parquet")
-    make_msf(spark, entrymod, sf_dir, gold_dir / f"msf_{sf_tag}.parquet")
-    make_betweenness(
-        spark, entrymod, sf_dir, gold_dir / f"betweenness_{sf_tag}.parquet"
-    )
+    only = set(sys.argv[2:])  # optional golden-name filter, e.g. "gcvalue"
+
+    def want(name):
+        return not only or name in only
+
+    if want("coreness"):
+        make_coreness(
+            spark, entrymod, sf_dir, gold_dir / f"coreness_{sf_tag}.parquet"
+        )
+    if want("textrank"):
+        make_textrank(
+            spark, entrymod, sf_dir, gold_dir / f"textrank_{sf_tag}.parquet"
+        )
+    if want("gcvalue"):
+        make_textrank(
+            spark,
+            entrymod,
+            sf_dir,
+            gold_dir / f"textrank_gcvalue_{sf_tag}.parquet",
+            weight_comb="gcvalue",
+        )
+    if want("msf"):
+        make_msf(spark, entrymod, sf_dir, gold_dir / f"msf_{sf_tag}.parquet")
+    if want("betweenness"):
+        make_betweenness(
+            spark, entrymod, sf_dir, gold_dir / f"betweenness_{sf_tag}.parquet"
+        )
 
 
 if __name__ == "__main__":

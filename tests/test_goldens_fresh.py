@@ -38,17 +38,20 @@ def test_goldens_match_committed(spark, tmp_path):
 
     fresh_core = tmp_path / "coreness.parquet"
     fresh_tr = tmp_path / "textrank.parquet"
+    fresh_gc = tmp_path / "textrank_gcvalue.parquet"
     fresh_msf = tmp_path / "msf.parquet"
     fresh_bw = tmp_path / "betweenness.parquet"
     # each make_* verifies against its independent oracle before writing
     mg.make_coreness(spark, entrymod, SF_DIR, fresh_core)
     mg.make_textrank(spark, entrymod, SF_DIR, fresh_tr)
+    mg.make_textrank(spark, entrymod, SF_DIR, fresh_gc, weight_comb="gcvalue")
     mg.make_msf(spark, entrymod, SF_DIR, fresh_msf)
     mg.make_betweenness(spark, entrymod, SF_DIR, fresh_bw)
 
     for fresh, committed in [
         (fresh_core, REPO / "goldens" / "coreness_sf0.01.parquet"),
         (fresh_tr, REPO / "goldens" / "textrank_sf0.01.parquet"),
+        (fresh_gc, REPO / "goldens" / "textrank_gcvalue_sf0.01.parquet"),
         (fresh_msf, REPO / "goldens" / "msf_sf0.01.parquet"),
         (fresh_bw, REPO / "goldens" / "betweenness_sf0.01.parquet"),
     ]:
