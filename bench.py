@@ -171,31 +171,57 @@ def bench_leiden(
     n_vertices: int = 200_000,
     n_edges: int = 2_000_000,
     levels: int = 2,
-    max_rounds: int = 6,
+    budgets: tuple = (2, 6, 12),
 ) -> dict:
     """Full Leiden loop (move + connectivity refinement + aggregate-on-
-    refinement) on the 2M-edge power-law graph, FIXED round budget per
-    level (the standard distributed-Louvain operating mode: the
-    md5-gated synchronous rule activates half the vertices per round, so
-    move counts decay geometrically — exact no-move convergence takes
-    ~10x the budget for marginal modularity). Refinement adds one CC
-    run per level on the intra-community edge subset."""
+    refinement) on the 2M-edge power-law graph, measured as a
+    BUDGET-VS-MODULARITY curve: one run per max_rounds budget, each
+    reporting wall, per-level round counts, whether the no-move fixpoint
+    was reached within budget, and the modularity Q of the returned
+    partition. This is what tells a user of leiden() what a round budget
+    buys at a given scale — the md5-gated synchronous rule activates
+    half the vertices per round, so move counts decay geometrically and
+    exact no-move convergence costs ~2x the half-budget wall for
+    marginal Q (the curve quantifies 'marginal'). The headline wall is
+    the largest budget's run. Refinement adds one CC run per level on
+    the intra-community edge subset."""
+    from jgtextrank_spark.algos.graphstats import modularity
     from jgtextrank_spark.algos.louvain import leiden
 
     edges = synth_powerlaw_edges(spark, n_vertices, n_edges).persist()
     edges.count()
-    t0 = time.time()
-    res = leiden(edges, levels=levels, max_rounds=max_rounds)
-    n_comms = res.assignment.select("community").distinct().count()
-    wall = time.time() - t0
-    edges.unpersist()
+    curve = []
+    for budget in budgets:
+        t0 = time.time()
+        res = leiden(edges, levels=levels, max_rounds=budget)
+        n_comms = res.assignment.select("community").distinct().count()
+        wall = time.time() - t0
+        q = modularity(
+            edges,
+            res.assignment.withColumnRenamed("community", "label"),
+            weight_col=None,
+        )
+        curve.append(
+            {
+                "max_rounds": budget,
+                "levels": res.levels,
+                "rounds_per_level": res.rounds,
+                "communities": n_comms,
+                "converged": res.converged,
+                "modularity": round(q, 6),
+                "wall_sec": round(wall, 3),
+            }
+        )
+    last = curve[-1]
     return {
         "vertices": n_vertices,
-        "levels": res.levels,
-        "rounds_per_level": res.rounds,
-        "communities": n_comms,
-        "converged": res.converged,
-        "wall_sec": round(wall, 3),
+        "budget_curve": curve,
+        "levels": last["levels"],
+        "rounds_per_level": last["rounds_per_level"],
+        "communities": last["communities"],
+        "converged": last["converged"],
+        "modularity": last["modularity"],
+        "wall_sec": last["wall_sec"],
     }
 
 

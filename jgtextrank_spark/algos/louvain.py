@@ -371,6 +371,7 @@ def louvain(
     fixed_rounds: int | None = None,
     seed: str = "louvain",
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
 ) -> LouvainResult:
     """Multilevel Louvain: move phase, contract, repeat ``levels`` times
     (stops early when a level makes no merges). Returns the ORIGINAL
@@ -392,6 +393,7 @@ def louvain(
             checkpoint_dir=(
                 f"{checkpoint_dir}/level{lv}" if checkpoint_dir else None
             ),
+            checkpoint_every=checkpoint_every,
         )
         rounds_per_level.append(rounds)
         conv_all = conv_all and conv
@@ -435,6 +437,7 @@ def leiden(
     fixed_rounds: int | None = None,
     seed: str = "leiden",
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
 ) -> LouvainResult:
     """Leiden community detection (Traag, Waltman & van Eck 2019) from
     the engine's existing parts: per level, a Louvain local-move phase,
@@ -472,6 +475,7 @@ def leiden(
             checkpoint_dir=(
                 f"{checkpoint_dir}/level{lv}" if checkpoint_dir else None
             ),
+            checkpoint_every=checkpoint_every,
         )
         rounds_per_level.append(rounds)
         conv_all = conv_all and conv

@@ -178,6 +178,7 @@ def run(spark, args) -> dict:
         res = louvain(
             edges, levels=2, max_rounds=args.max_iter,
             checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
         out = res.assignment
         metrics = res.metrics
@@ -187,6 +188,7 @@ def run(spark, args) -> dict:
         res = leiden(
             edges, levels=3, max_rounds=args.max_iter,
             checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
         out = res.assignment
         metrics = res.metrics

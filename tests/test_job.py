@@ -136,3 +136,101 @@ def test_job_trustrank_and_warc_source(spark, tmp_path):
     }
     assert set(got) == {"https://a.org/x", "https://b.org/y"}
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def _write_community_edges(spark, tmp_path):
+    # two triangles joined by one bridge: real merges for the community
+    # algos (several productive move rounds before the no-move fixpoint)
+    path = str(tmp_path / "cedges")
+    spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+            ("d", "e", 1.0), ("e", "f", 1.0), ("f", "d", 1.0),
+            ("c", "d", 1.0),
+        ],
+        "src string, dst string, weight double",
+    ).write.parquet(path)
+    return path
+
+
+def _write_dag_edges(spark, tmp_path):
+    # 5-chain + a skip edge: depth-4 layering (several Kahn rounds),
+    # 2 onion peel layers
+    path = str(tmp_path / "dagedges")
+    spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+            ("d", "e", 1.0), ("a", "c", 1.0),
+        ],
+        "src string, dst string, weight double",
+    ).write.parquet(path)
+    return path
+
+
+def _result_rows(spark, out):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(out + "/result").collect()
+    )
+
+
+def test_job_community_and_layer_algos_resume(spark, tmp_path):
+    """louvain/leiden/toposort/onion end-to-end through the job entry
+    point with a durable checkpoint dir (VERDICT r4 item 8): a resubmit
+    with identical args must RESUME from the final per-level superstep
+    checkpoints — not recompute from scratch — and reproduce the first
+    run's result exactly; the job result also matches the direct
+    in-process library call."""
+    ce = _write_community_edges(spark, tmp_path)
+    de = _write_dag_edges(spark, tmp_path)
+
+    from jgtextrank_spark.algos.louvain import leiden as lib_leiden
+    from jgtextrank_spark.algos.louvain import louvain as lib_louvain
+    from jgtextrank_spark.algos.onion import onion_decomposition
+    from jgtextrank_spark.algos.toposort import topological_layers
+
+    ce_df = spark.read.parquet(ce)
+    de_df = spark.read.parquet(de)
+    direct = {
+        "louvain": lambda: lib_louvain(ce_df, levels=2).assignment,
+        "leiden": lambda: lib_leiden(ce_df, levels=3).assignment,
+        "toposort": lambda: topological_layers(de_df).layers,
+        "onion": lambda: onion_decomposition(de_df).state,
+    }
+
+    for algo, edges in [
+        ("louvain", ce), ("leiden", ce), ("toposort", de), ("onion", de)
+    ]:
+        out = str(tmp_path / f"out_{algo}")
+        ckpt = str(tmp_path / f"ckpt_{algo}")
+        base = [
+            "--edges", edges, "--output", out, "--algo", algo,
+            "--checkpoint-dir", ckpt, "--checkpoint-every", "1",
+        ]
+        s1 = linkgraph_job.run(spark, linkgraph_job.parse_args(base))
+        r1 = _result_rows(spark, out)
+        s2 = linkgraph_job.run(spark, linkgraph_job.parse_args(base))
+        r2 = _result_rows(spark, out)
+        assert r1 == r2, f"{algo}: resubmit changed the result"
+        if algo in ("toposort", "onion"):
+            assert any(
+                m.get("event") == "resume" for m in s2["superstep_metrics"]
+            ), f"{algo}: resubmit must resume from the durable checkpoint"
+        else:
+            # the community algos re-map superstep metrics to move_round
+            # rows (resume events are not forwarded): a resumed level
+            # starts PAST round 1, a scratch recompute starts AT 1
+            rounds1 = [
+                m["round"] for m in s1["superstep_metrics"]
+                if m.get("event") == "move_round" and m.get("level") == 1
+            ]
+            rounds2 = [
+                m["round"] for m in s2["superstep_metrics"]
+                if m.get("event") == "move_round" and m.get("level") == 1
+            ]
+            assert min(rounds1) == 1, f"{algo}: first run starts at round 1"
+            assert min(rounds2) > 1, (
+                f"{algo}: resubmit must resume level 1 past round 1, "
+                f"got rounds {rounds2}"
+            )
+        want = sorted(tuple(r) for r in direct[algo]().collect())
+        assert r1 == want, f"{algo}: job result != direct library result"
