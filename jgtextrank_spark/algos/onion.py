@@ -135,14 +135,13 @@ def onion_decomposition(
         checkpoint_dir=checkpoint_dir,
         label="onion",
     )
-    n_layers = max(
-        (
-            int(m["iteration"])
-            for m in res.metrics
-            if m["event"] in ("step", "checkpoint") and m.get("delta")
-        ),
-        default=0,
-    )
+    # layer count from the STATE (layers are iteration-stamped and
+    # globally correct across a checkpoint resume), not this run's
+    # metrics: a resumed run's metrics lack the pre-resume productive
+    # rounds, so a metrics-derived max would underreport (same fix as
+    # toposort's depth, ADVICE r4)
+    max_layer = res.state.agg(F.max("layer").alias("m")).collect()[0]["m"]
+    n_layers = int(max_layer) if max_layer is not None else 0
     sym.unpersist()
     # converged means everything peeled (a finite graph always peels;
     # non-convergence only via max_rounds)

@@ -181,6 +181,16 @@ CHECKS = {
          lambda p: "BatchEvalPython" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "leiden": [
+        ("per-level state is checkpoint-truncated (ExistingRDD leaves,"
+         " no cross-level lineage growth)",
+         lambda p: "ExistingRDD" in p),
+        ("map-through/refinement joins are equi-joins, no cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("decision path is JVM decimal algebra, no Python eval",
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p),
+    ],
     "fix_mojibake": [
         ("pure map: no shuffle at all", lambda p: "Exchange" not in p),
         ("JVM-side charset algebra, no Python eval",
@@ -293,7 +303,7 @@ def main():
         "url_canonical", "pii_scrub", "repetition", "decontaminate",
         "link_prediction", "scc_per_doc", "anchor_text",
         "duplicate_spans", "bm25_topk", "skipgram_pairs",
-        "stratified_sample", "node2vec_walks", "msf_forest",
+        "stratified_sample", "node2vec_walks", "msf_forest", "leiden",
         "cocitation", "paragraph_dedup", "robots_filter",
         "betweenness_pages", "ppr_multi_seed", "fix_mojibake",
         "domain_stats", "pack_chunks", "pack_greedy",
