@@ -42,6 +42,7 @@ LOUVAIN_ROUNDS = 4  # louvain gate: fixed move rounds (md5-replayable)
 LOUVAIN_SEED = "gate-louvain"
 LEIDEN_ROUNDS = 3  # leiden gate: fixed move rounds PER LEVEL (2 levels)
 LEIDEN_SEED = "gate-leiden"
+LOUVAIN_ML_SEED = "gate-louvain-ml"  # multilevel louvain gate (2 levels)
 PQ_M = 8  # PQ gate: subvector blocks
 _PQ_SUB = 64 // PQ_M  # embeddings are 64-dim (TESTDATA.md)
 PQ_CODES = 16  # PQ gate: codewords per block
@@ -492,6 +493,27 @@ def q_louvain(spark, sf_dir):
         seed=LOUVAIN_SEED,
     )
     return comm.select("vertex", "community")
+
+
+def q_louvain_multilevel(spark, sf_dir):
+    """Multilevel Louvain (2 levels: move phase, contract communities to
+    supervertices with internal edges as self-loops, move again on the
+    coarse graph, map back) on the documents token graph — the classic
+    Blondel et al. 2008 loop, vs `louvain` which gates the move phase
+    alone. The DuckDB oracle unrolls both levels' HUGEINT move algebra
+    plus the community contraction and the final map-through; level 2's
+    self-loops enter vertex strength k_v exactly as in the engine
+    (_sym_parts: self-loops count twice, nx convention)."""
+    _prep(spark)
+    from jgtextrank_spark.algos.louvain import louvain
+
+    res = louvain(
+        _doc_edges(spark, sf_dir),
+        levels=2,
+        fixed_rounds=LOUVAIN_ROUNDS,
+        seed=LOUVAIN_ML_SEED,
+    )
+    return res.assignment.select("vertex", "community")
 
 
 def q_leiden(spark, sf_dir):
@@ -2150,13 +2172,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_gcvalue": q_textrank_gcvalue,
         "components_per_doc": q_components_per_doc,
         "cooccur_edges": q_cooccur_edges,
-        "scc_per_doc": q_scc_per_doc,
         "louvain": q_louvain,
+        "louvain_multilevel": q_louvain_multilevel,
         "leiden": q_leiden,
         # top_tokens/prf_eval were last driver-checked in r3 under a
         # different window: rotate them back in (VERDICT r4 item 10)
         "top_tokens": q_top_tokens,
         "prf_eval": q_prf_eval,
+        # --- below here is outside the driver's 50-row window (all
+        # still oracled; check_oracles replays every entry) ---
+        "scc_per_doc": q_scc_per_doc,
         "hits_hosts": q_hits_hosts,
         "web_host_pagerank": q_web_host_pagerank,
         "degree_centrality": q_degree_centrality,
@@ -3436,6 +3461,37 @@ def _refine_ctes(p: str, e: str, lab: str) -> str:
 )"""
 
 
+def _louvain_ml_sql(rounds: int, seed: str) -> str:
+    """Bit-exact replay of algos/louvain.py louvain(levels=2,
+    fixed_rounds=rounds): level-1 move unroll on the token graph,
+    contraction of COMMUNITIES to supervertices (internal edges become
+    self-loops, entering k_v twice via the shared move-CTE template's
+    selfw handling), level-2 move unroll from singletons on the coarse
+    graph, then the map-through c2(c1(v))."""
+    R = rounds
+    parts = [
+        _EDGES,
+        "e0 AS (SELECT src, dst, weight AS w FROM edges)",
+        _leiden_move_ctes("a1", "e0", None, R, f"{seed}:L1"),
+        f"""
+e1 AS MATERIALIZED (
+  SELECT cu.community AS src, cv.community AS dst, sum(e.w) AS w
+  FROM e0 e
+  JOIN a1c{R} cu ON cu.vertex = e.src
+  JOIN a1c{R} cv ON cv.vertex = e.dst
+  GROUP BY 1, 2
+)""",
+        _leiden_move_ctes("a2", "e1", None, R, f"{seed}:L2"),
+    ]
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT c1.vertex, c2.community
+FROM a1c{R} c1 JOIN a2c{R} c2 ON c2.vertex = c1.community"""
+    )
+
+
 def _leiden_sql(rounds: int, seed: str) -> str:
     """Bit-exact replay of algos/louvain.py leiden(levels=2,
     fixed_rounds=rounds): level-1 move unroll on the token graph,
@@ -4308,6 +4364,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         ),
         "label_propagation": _lpa_sql(10),
         "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
+        "louvain_multilevel": _louvain_ml_sql(LOUVAIN_ROUNDS, LOUVAIN_ML_SEED),
         "leiden": _leiden_sql(LEIDEN_ROUNDS, LEIDEN_SEED),
         # connectivity refinement of the host partition: transitive
         # closure restricted to intra-host edges, piece id = min member;

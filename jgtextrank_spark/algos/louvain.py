@@ -144,8 +144,9 @@ def louvain_move_phase(
     kv = kv.persist()
     m2 = kv.agg(F.sum("k").alias("s")).collect()[0]["s"] or 0.0
     if m2 <= 0:
-        # no modularity signal (empty / zero-weight / self-loop-only
-        # graph): no move can change the objective, so return the start
+        # no modularity signal (empty or zero-total-weight graph; NOT
+        # self-loop-only — self-loops enter k twice so m2 > 0 there):
+        # no move can change the objective, so return the start
         # assignment unchanged — the provided init when there is one
         # (inner-joined to the vertex set, same contract as below),
         # singletons otherwise.

@@ -510,6 +510,34 @@ def test_mirror_host_pairs(spark):
     assert mirror_host_pairs(boiler, threshold=0.01,
                              max_fp_hosts=3).count() == 0
 
+    # ADVICE r4: jaccard denominators must come from the FILTERED
+    # index. e/f share 2 real bodies; e/f/g also all carry a
+    # boilerplate body that max_fp_hosts=2 drops. In the filtered
+    # universe e-f jaccard = 2/(2+2-2) = 1.0; sizing from pre-filter
+    # counts would read 2/(3+3-2) = 0.5 and a 0.75 threshold would
+    # silently drop a perfect mirror.
+    hot = spark.createDataFrame(
+        [
+            ("https://e.org/1", "Shared body one."),
+            ("https://e.org/2", "Shared body two."),
+            ("https://e.org/b", "boilerplate everywhere"),
+            ("https://f.org/1", "shared body ONE"),
+            ("https://f.org/2", "shared body TWO"),
+            ("https://f.org/b", "boilerplate everywhere"),
+            ("https://g.org/1", "unrelated page"),
+            ("https://g.org/2", "another unrelated"),
+            ("https://g.org/b", "boilerplate everywhere"),
+        ],
+        "url string, text string",
+    )
+    got3 = {
+        (r["host_a"], r["host_b"]): r["jaccard"]
+        for r in mirror_host_pairs(
+            hot, threshold=0.75, max_fp_hosts=2
+        ).collect()
+    }
+    assert got3 == {("e.org", "f.org"): pytest.approx(1.0)}
+
 
 def test_strip_tracking_params(spark):
     from jgtextrank_spark.weblinks import strip_tracking_params
