@@ -43,6 +43,7 @@ LOUVAIN_SEED = "gate-louvain"
 LEIDEN_ROUNDS = 3  # leiden gate: fixed move rounds PER LEVEL (2 levels)
 LEIDEN_SEED = "gate-leiden"
 LOUVAIN_ML_SEED = "gate-louvain-ml"  # multilevel louvain gate (2 levels)
+BPE_MERGES = 8  # BPE tokenizer-training gate: merge rounds (unrolled CTEs)
 PQ_M = 8  # PQ gate: subvector blocks
 _PQ_SUB = 64 // PQ_M  # embeddings are 64-dim (TESTDATA.md)
 PQ_CODES = 16  # PQ gate: codewords per block
@@ -1766,6 +1767,20 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016) on the documents
+    corpus: 8 merge rounds, returning the merge table (rank, left,
+    right, merged, freq) a subword tokenizer consumes. Deterministic
+    (count DESC, left ASC, right ASC tie-break); the oracle unrolls all
+    8 rounds — pair counts, argmax, and the greedy left-to-right merge
+    via gaps-and-islands position parity. Scale shape: one corpus-scale
+    word count, then vocab-sized rounds (one scalar action each)."""
+    _prep(spark)
+    from jgtextrank_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), merges=BPE_MERGES)
+
+
 def q_top_tokens(spark, sf_dir):
     """Global top-100 tokens. The heavy ranking is orderBy+limit
     (TakeOrderedAndProject: per-partition partial top-k, merged on the
@@ -2182,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below here is outside the driver's 50-row window (all
         # still oracled; check_oracles replays every entry) ---
         "scc_per_doc": q_scc_per_doc,
+        "bpe_merges": q_bpe_merges,
         "hits_hosts": q_hits_hosts,
         "web_host_pagerank": q_web_host_pagerank,
         "degree_centrality": q_degree_centrality,
@@ -3461,6 +3477,82 @@ def _refine_ctes(p: str, e: str, lab: str) -> str:
 )"""
 
 
+def _bpe_sql(merges: int) -> str:
+    """Bit-exact replay of functions/bpe.py bpe_train: per unrolled
+    round, frequency-weighted adjacent-pair counts (overlapping
+    occurrences included — get_stats semantics), argmax with
+    (count DESC, left ASC, right ASC) tie-break, then greedy
+    left-to-right non-overlapping merge. The merge's only sequential
+    dependency is within runs of consecutive candidates (possible only
+    when left == right), resolved as gaps-and-islands + position parity
+    — provably equal to the fold: in a run of L consecutive candidates
+    the greedy pass merges at offsets 0, 2, 4, ..."""
+    ctes = [
+        _TOK,
+        """
+w0 AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT token AS word FROM tok) GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(
+           [substr(word, i, 1) for i in generate_series(1, length(word))],
+           '</w>'
+         ) AS syms
+  FROM w0
+)""",
+    ]
+    for k in range(1, merges + 1):
+        ctes.append(
+            f"""
+p{k} AS (
+  SELECT l, r, sum(freq) AS c FROM (
+    SELECT s.freq, s.syms[i] AS l, s.syms[i + 1] AS r
+    FROM s{k - 1} s, unnest(generate_series(1, len(s.syms) - 1)) t(i)
+  ) GROUP BY l, r
+),
+b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+cand{k} AS (
+  SELECT s.word, i
+  FROM s{k - 1} s, b{k} b,
+       unnest(generate_series(1, len(s.syms) - 1)) t(i)
+  WHERE s.syms[i] = b.l AND s.syms[i + 1] = b.r
+),
+mrg{k} AS (
+  SELECT word, i FROM (
+    SELECT word, i,
+           min(i) OVER (PARTITION BY word, g) AS i0
+    FROM (
+      SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+      FROM cand{k}
+    )
+  ) WHERE (i - i0) % 2 = 0
+),
+s{k} AS MATERIALIZED (
+  SELECT e.word, max(e.freq) AS freq,
+         list(CASE WHEN m.i IS NOT NULL THEN b.l || b.r ELSE e.sym END
+              ORDER BY e.j) AS syms
+  FROM (
+    SELECT s.word, s.freq, j, s.syms[j] AS sym
+    FROM s{k - 1} s, unnest(generate_series(1, len(s.syms))) t(j)
+  ) e
+  CROSS JOIN b{k} b
+  LEFT JOIN mrg{k} m ON m.word = e.word AND m.i = e.j
+  LEFT JOIN mrg{k} m2 ON m2.word = e.word AND m2.i = e.j - 1
+  WHERE m2.i IS NULL
+  GROUP BY e.word
+)"""
+        )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, c::BIGINT AS freq FROM b{k}"
+        for k in range(1, merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + f"\nSELECT * FROM (\n  {rows}\n)"
+
+
 def _louvain_ml_sql(rounds: int, seed: str) -> str:
     """Bit-exact replay of algos/louvain.py louvain(levels=2,
     fixed_rounds=rounds): level-1 move unroll on the token graph,
@@ -4365,6 +4457,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         "label_propagation": _lpa_sql(10),
         "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
         "louvain_multilevel": _louvain_ml_sql(LOUVAIN_ROUNDS, LOUVAIN_ML_SEED),
+        "bpe_merges": _bpe_sql(BPE_MERGES),
         "leiden": _leiden_sql(LEIDEN_ROUNDS, LEIDEN_SEED),
         # connectivity refinement of the host partition: transitive
         # closure restricted to intra-host edges, piece id = min member;

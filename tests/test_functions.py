@@ -813,3 +813,61 @@ def test_dedup_keep_best_policy(spark):
     assert out[1]["cluster_size"] == 2
     # singleton kept
     assert out[3]["keep"] and out[3]["cluster_size"] == 1
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """bpe_train vs an in-test transcription of the classic algorithm
+    (Sennrich et al. 2016 get_stats/merge_vocab): overlapping pair
+    counts, (count DESC, pair ASC) tie-break, greedy left-to-right
+    non-overlapping merges — including the (x, x) run cases ('aaa',
+    'banana') where the overlap semantics actually bite."""
+    import collections
+
+    from jgtextrank_spark.functions.bpe import bpe_train
+
+    def ref_bpe(texts, merges):
+        vocab = collections.Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(list(w) + ["</w>"])] += 1
+        rules = []
+        for rank in range(1, merges + 1):
+            stats = collections.Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += f
+            if not stats:
+                break
+            (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((rank, l, r, l + r, c))
+            new = collections.Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] += f
+            vocab = new
+        return rules
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaa aa a banana bandana",
+        "low new wide aaa",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in bpe_train(docs, merges=10).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe(texts, 10)
+
+    # early stop: a fully mergeable micro-corpus runs out of pairs
+    tiny = spark.createDataFrame([("ab ab",)], "text string")
+    rules = bpe_train(tiny, merges=50).collect()
+    assert 0 < len(rules) < 50
