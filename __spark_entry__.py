@@ -1781,6 +1781,22 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), merges=BPE_MERGES)
 
 
+def q_bpe_segment(spark, sf_dir):
+    """Apply the trained BPE merge table back to its training corpus'
+    vocabulary: (word, freq, segmentation). Sequential rank-order
+    application of one-pass merges is exactly the training evolution,
+    so the oracle is the training unroll's final symbol table —
+    checking both the apply fold chain and that identity."""
+    _prep(spark)
+    from jgtextrank_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    rules = bpe_train(docs, merges=BPE_MERGES)
+    return bpe_apply(docs, rules).select(
+        "word", "freq", F.array_join("tokens", " ").alias("segmentation")
+    )
+
+
 def q_top_tokens(spark, sf_dir):
     """Global top-100 tokens. The heavy ranking is orderBy+limit
     (TakeOrderedAndProject: per-partition partial top-k, merged on the
@@ -2198,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still oracled; check_oracles replays every entry) ---
         "scc_per_doc": q_scc_per_doc,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         "hits_hosts": q_hits_hosts,
         "web_host_pagerank": q_web_host_pagerank,
         "degree_centrality": q_degree_centrality,
@@ -3553,6 +3570,21 @@ s{k} AS MATERIALIZED (
     return "WITH " + ",".join(ctes) + f"\nSELECT * FROM (\n  {rows}\n)"
 
 
+def _bpe_apply_sql(merges: int) -> str:
+    """Oracle for bpe_apply(docs, bpe_train(docs)): applying a merge
+    table to its own training corpus reproduces the final training
+    symbol state — so the expected segmentation IS the unrolled
+    training chain's last s{K} table."""
+    train = _bpe_sql(merges)
+    ctes = train[: train.rindex("\nSELECT * FROM")]
+    return (
+        ctes
+        + f"""
+SELECT word, freq, array_to_string(syms, ' ') AS segmentation
+FROM s{merges}"""
+    )
+
+
 def _louvain_ml_sql(rounds: int, seed: str) -> str:
     """Bit-exact replay of algos/louvain.py louvain(levels=2,
     fixed_rounds=rounds): level-1 move unroll on the token graph,
@@ -4458,6 +4490,7 @@ WHERE round(i.i / (za.n_sh + zb.n_sh - i.i), 6) >= {JACCARD_T}""",
         "louvain": _louvain_sql(LOUVAIN_ROUNDS, LOUVAIN_SEED),
         "louvain_multilevel": _louvain_ml_sql(LOUVAIN_ROUNDS, LOUVAIN_ML_SEED),
         "bpe_merges": _bpe_sql(BPE_MERGES),
+        "bpe_segment": _bpe_apply_sql(BPE_MERGES),
         "leiden": _leiden_sql(LEIDEN_ROUNDS, LEIDEN_SEED),
         # connectivity refinement of the host partition: transitive
         # closure restricted to intra-host edges, piece id = min member;

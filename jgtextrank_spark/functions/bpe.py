@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bpe_train", "word_symbol_table"]
+__all__ = ["bpe_train", "bpe_apply", "word_symbol_table"]
 
 END = "</w>"
 
@@ -154,4 +154,32 @@ def bpe_train(
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    rules,
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment the corpus VOCABULARY with a trained merge table:
+    (word, freq, tokens array<string>). ``rules`` is ``bpe_train``'s
+    output DataFrame (collected — merge tables are tiny) or a rank-
+    ordered list of (left, right) pairs. Each rule applies as ONE greedy
+    left-to-right pass in rank order — exactly the training evolution,
+    so applying a table to its own training corpus reproduces the
+    final training symbol state (the gate's oracle identity). Scale
+    shape: the fold chain runs on the vocab-sized table; segment the
+    corpus itself by joining the result back on the word column."""
+    if isinstance(rules, DataFrame):
+        pairs = [
+            (r["left"], r["right"]) for r in rules.orderBy("rank").collect()
+        ]
+    else:
+        pairs = list(rules)
+    col = F.col("syms")
+    for l, r in pairs:
+        col = _merge_expr(col, l, r)
+    return word_symbol_table(docs, text_col).select(
+        "word", "freq", col.alias("tokens")
     )

@@ -871,3 +871,31 @@ def test_bpe_train_matches_reference_algorithm(spark):
     tiny = spark.createDataFrame([("ab ab",)], "text string")
     rules = bpe_train(tiny, merges=50).collect()
     assert 0 < len(rules) < 50
+
+
+def test_bpe_apply_segments_vocabulary(spark):
+    """bpe_apply: rank-order one-pass merges reproduce the reference
+    segmentation; applying a table trained on one corpus to UNSEEN
+    words segments them with the learned units."""
+    from jgtextrank_spark.functions.bpe import bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [("low low low lower lowest newest newer new",)], "text string"
+    )
+    rules = bpe_train(train, merges=6)
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply(train, rules).collect()
+    }
+    # identity with the training evolution: the most frequent word is
+    # fully merged first
+    assert got["low"] == ["low</w>"] or got["low"][0].startswith("lo")
+    # unseen word: learned units apply, unknown chars stay single
+    unseen = spark.createDataFrame([("lowly",)], "text string")
+    seg = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply(unseen, rules).collect()
+    }
+    toks = seg["lowly"]
+    assert "".join(toks) == "lowly</w>"  # lossless
+    assert toks[0] in ("low", "lo")  # learned prefix unit reused
