@@ -625,6 +625,14 @@ def main() -> None:
         lambda: entrymod.q_textrank_keywords(spark, sf_dir).collect(),
     )
     timed(
+        "bpe_train_16",
+        # 16 merge rounds: one corpus-scale word count, then vocab-sized
+        # pair-count + fold-merge rounds (one scalar action each)
+        lambda: __import__(
+            "jgtextrank_spark.functions.bpe", fromlist=["bpe_train"]
+        ).bpe_train(entrymod._docs(spark, sf_dir), merges=16).collect(),
+    )
+    timed(
         "components_per_doc",
         lambda: entrymod.q_components_per_doc(spark, sf_dir).count(),
     )
