@@ -142,8 +142,10 @@ def betweenness_sampled(
             .select("s", F.col("dst").alias("nv"), "sigma")
             .groupBy("s", F.col("nv").alias("v"))
             .agg(F.sum("sigma").alias("sigma"))
+            # the groupBy already hash-partitions by (s, v); the anti
+            # join reuses it and the old explicit repartition was one
+            # pure extra exchange per level
             .join(visited, ["s", "v"], "left_anti")
-            .repartition(num_partitions, "s", "v")
             .localCheckpoint(eager=True)
         )
         if newly.count() == 0:
@@ -188,7 +190,6 @@ def betweenness_sampled(
             .select(
                 "s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta")
             )
-            .repartition(num_partitions, "s", "v")
             .localCheckpoint(eager=True)
         )
         # level-0 deltas (the sources themselves) are never accumulated:

@@ -219,6 +219,7 @@ def core_numbers_hindex_result(
     checkpoint_every: int = 8,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    broadcast_threshold: int = 2_000_000,
 ):
     """Core numbers via the distributed h-index iteration (Lü et al. 2016:
     repeatedly replacing h(v), initialized to deg(v), with the H-operator
@@ -267,17 +268,56 @@ def core_numbers_hindex_result(
         .persist()
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("h"))
+    verts = _vertices(edges, vertices).persist()
+    # frontier/candidate sets are broadcast only while the vertex set is
+    # broadcastable; above the threshold the joins fall back to AQE's
+    # runtime choice (a shrinking frontier still converts to broadcast
+    # at runtime once it is small enough)
+    bcast = verts.count() <= broadcast_threshold
+
+    def _b(df):
+        return F.broadcast(df) if bcast else df
+
     init = (
-        _vertices(edges, vertices)
+        verts
         .join(deg.select(F.col("v").alias("vertex"), "h"), "vertex", "left")
-        .select("vertex", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+        .select(
+            "vertex",
+            F.coalesce("h", F.lit(0)).cast("long").alias("h"),
+            # sentinel prev: every vertex counts as "changed" entering
+            # round 1, so the first round recomputes everybody (exactly
+            # the old full-recompute behaviour)
+            F.lit(-1).cast("long").alias("prev"),
+        )
     )
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        # ACTIVE-FRONTIER recomputation: h(v) can only change in this
+        # round if one of its H-operator inputs changed last round — its
+        # own h (the clip) or a neighbour's h. Restricting the recompute
+        # to changed ∪ neighbours(changed) leaves every per-round h value
+        # bit-identical (a vertex with unchanged inputs recomputes to the
+        # same h), while late rounds — where only a residue of vertices
+        # still moves — shrink from O(E) joined rows to O(edges touching
+        # the frontier). Guide §2.3: shuffle fewer bytes.
+        chg = state.filter(F.col("h") != F.col("prev"))
+        cand = (
+            adj.join(_b(chg.select(F.col("vertex").alias("u"))), "u")
+            .select("v")
+            .unionByName(chg.select(F.col("vertex").alias("v")))
+            .distinct()
+        )
         hu = state.select(F.col("vertex").alias("u"), F.col("h").alias("h_u"))
         hv = state.select(F.col("vertex").alias("v"), F.col("h").alias("h_v"))
+        # one explicit exchange by v; the groupBy(v, h_u), the cumulative
+        # window and the final groupBy(v) all reuse it (hash partitioning
+        # on v satisfies their clustering requirements) — the old plan
+        # exchanged separately for the (v, h_u) aggregation and the
+        # window
         grp = (
-            adj.join(hu, "u")
+            adj.join(_b(cand), "v", "semi")
+            .join(hu, "u")
+            .repartition(num_partitions, "v")
             .groupBy("v", "h_u")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
@@ -301,7 +341,10 @@ def core_numbers_hindex_result(
             hnew, state["vertex"] == hnew["v"], "left"
         ).select(
             "vertex",
-            F.coalesce("h_new", F.lit(0)).cast("long").alias("h"),
+            # frontier semantics: an un-recomputed vertex KEEPS its h
+            # (its inputs did not change); a recomputed vertex with no
+            # neighbours keeps h too (h=0 from init, the old coalesce-0)
+            F.coalesce("h_new", state["h"]).cast("long").alias("h"),
             state["h"].alias("prev"),
         )
         new_state = new_state.persist()
@@ -324,6 +367,7 @@ def core_numbers_hindex_result(
         label="core_numbers_hindex",
     )
     adj.unpersist()
+    verts.unpersist()
     return result
 
 

@@ -125,63 +125,76 @@ def connected_components_result(
         .persist()
     )
     init = init.persist()
-    bcast = init.count() <= broadcast_threshold
-
-    def _b(df):
-        return F.broadcast(df) if bcast else df
+    init.count()
 
     def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
-        nbr_min = (
+        # ONE action per round, broadcast-free (the old plan built four
+        # V-sized broadcasts per round — state, nbr_min, hook, parents —
+        # each a separate driver job that also re-executed the join chain
+        # it hung off; at web scale a V-sized broadcast does not exist at
+        # all). The hook is FUSED into a single vertex-keyed aggregation:
+        #
+        #   label1(v) = min(label(v), min over in-edges label(u))
+        #   m(v)      = min(label1(v), min over {w : label(w) = v} label1(w))
+        #
+        # m(v) is exactly the old label-after-hook (the representative v
+        # absorbs the min candidate of its pointers; its own id is
+        # redundant since label1(v) <= v), computed by keying each
+        # vertex's label1 BOTH by itself and by its round-start
+        # representative — one union + one aggregation instead of the old
+        # nbr-min agg + hook agg + two join-backs.
+        nm = (
             adj.join(
-                _b(state.select(F.col("vertex").alias("src"), "label")), "src"
+                state.select(F.col("vertex").alias("src"), "label"), "src"
             )
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_state = state.join(
-            _b(nbr_min), state["vertex"] == nbr_min["dst"], "left"
+        l1 = state.join(
+            nm, state["vertex"] == nm["dst"], "left"
         ).select(
             "vertex",
-            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            F.col("label").alias("prev_label"),
+            "label",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("l1"),
         )
-        if accelerated:
-            # tree hook: the round-start representative learns the MIN
-            # candidate among the vertices pointing at it. Without this,
-            # two already-formed stars bridged by a mid-chain edge merge
-            # at ONE hop per round (the new min crawls from the bridge
-            # endpoint to the representative along graph edges — pointer
-            # jumping shortcuts label chains, not star-to-star merges);
-            # with it, the representative absorbs the bridge's min in one
-            # round and the next jump broadcasts it star-wide: O(log)
-            # rounds on bridged-star topologies instead of O(distance
-            # from bridge to representative).
-            hook = new_state.groupBy(
-                F.col("prev_label").alias("h_vertex")
-            ).agg(F.min("label").alias("h_label"))
-            new_state = new_state.join(
-                _b(hook), new_state["vertex"] == hook["h_vertex"], "left"
-            ).select(
+        if not accelerated:
+            new_state = l1.select(
                 "vertex",
-                F.least(
-                    "label", F.coalesce("h_label", "label")
-                ).alias("label"),
-                "prev_label",
+                F.col("l1").alias("label"),
+                F.col("label").alias("prev_label"),
             )
-            # pointer jumping: label <- min(label, label(label))
-            parents = _b(
-                state.select(
-                    F.col("vertex").alias("p_vertex"),
-                    F.col("label").alias("p_label"),
+        else:
+            # tree hook (fused, see above). Without it, two already-
+            # formed stars bridged by a mid-chain edge merge at ONE hop
+            # per round (pointer jumping shortcuts label chains, not
+            # star-to-star merges); with it the representative absorbs
+            # the bridge's min in one round and the next jump broadcasts
+            # it star-wide: O(log) rounds on bridged-star topologies.
+            m = (
+                l1.select(F.col("vertex").alias("tgt"), "l1")
+                .unionByName(
+                    l1.select(F.col("label").alias("tgt"), "l1")
                 )
+                .groupBy("tgt")
+                .agg(F.min("l1").alias("m"))
             )
-            new_state = new_state.join(
-                parents, new_state["label"] == parents["p_vertex"], "left"
+            # pointer jumping: label <- min(m, label(m)); prev_label
+            # rides the same row via the vertex-keyed state join
+            withprev = m.join(
+                state.select(
+                    F.col("vertex"), F.col("label").alias("prev_label")
+                ),
+                m["tgt"] == F.col("vertex"),
+            ).select("vertex", "m", "prev_label")
+            parents = state.select(
+                F.col("vertex").alias("p_vertex"),
+                F.col("label").alias("p_label"),
+            )
+            new_state = withprev.join(
+                parents, withprev["m"] == parents["p_vertex"], "left"
             ).select(
                 "vertex",
-                F.least(
-                    "label", F.coalesce("p_label", "label")
-                ).alias("label"),
+                F.least("m", F.coalesce("p_label", "m")).alias("label"),
                 "prev_label",
             )
         new_state = new_state.persist()
@@ -225,9 +238,13 @@ def _large_star(E: DataFrame) -> DataFrame:
     return (
         nbrs.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
-        # m <= u < v, so (m, v) is already canonical and never a self-loop
+        # m <= u < v, so (m, v) is already canonical and never a self-loop.
+        # No dedup here: small-star's window-min is duplicate-insensitive
+        # and its outer distinct dedups the round's output anyway, so the
+        # old inner distinct was one pure exchange per round (duplicate
+        # rows cannot exceed the canonical edge count — one row per
+        # (u, v) input pair survives the filter).
         .select(F.col("m").alias("u"), "v")
-        .distinct()
     )
 
 

@@ -176,27 +176,39 @@ def louvain_move_phase(
         else kv.select("vertex", F.col("vertex").alias("community"), "k")
     ).select("vertex", "community", "k", F.lit(0).alias("moved"))
 
+    def _gate(col):
+        # deterministic per-round half-activation: md5(seed:r:vertex)
+        # even. A pure EXPRESSION on the vertex id, so the active-set
+        # restriction is a filter, not a semi-join — one broadcast build
+        # and one exchange fewer per round than the old
+        # semi-join-the-active-frame plan (guide §2.4).
+        return (
+            F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int") % 2
+            == 0
+        )
+
     def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
         r = it + round_offset
+        pfx = f"{seed}:{r}:"
         vol = state.groupBy("community").agg(F.sum("k").alias("vol"))
         active = state.filter(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:{r}:"), F.col("vertex"))),
-                    1,
-                    2,
-                ),
-                16,
-                10,
-            ).cast("int")
-            % 2
-            == 0
+            _gate(F.concat(F.lit(pfx), F.col("vertex")))
         ).select("vertex", "community", "k")
 
-        nbrc = (
-            mirror.join(
-                _b(active.select(F.col("vertex").alias("a"))), "a", "semi"
-            )
+        # Neighbour-community weights for ACTIVE vertices, with the
+        # current community injected as a zero-weight candidate row
+        # BEFORE the aggregation (the old plan materialized nbrc and
+        # outer-joined the current-community rows back in — one extra
+        # edge-sized exchange). The explicit repartition by vertex is
+        # the round's ONE exchange: groupBy(vertex, c), the window
+        # argmax and the final groupBy all reuse it (hash partitioning
+        # on `vertex` satisfies every downstream clustering
+        # requirement), where the old plan exchanged separately for the
+        # (a, c) aggregation, the outer join and the window. Weight
+        # sums are integral (the documented exactness scope), so the
+        # zero-row and any addition-order change are exact.
+        cand = (
+            mirror.filter(_gate(F.concat(F.lit(pfx), F.col("a"))))
             .join(
                 _b(
                     state.select(
@@ -206,17 +218,17 @@ def louvain_move_phase(
                 ),
                 "b",
             )
-            .groupBy(F.col("a").alias("vertex"), "c")
-            .agg(F.sum("w").alias("kvc"))
-        )
-        # current community is always a candidate (kvc 0 if no internal
-        # edge)
-        cand = (
-            active.select("vertex", F.col("community").alias("c"))
-            .join(nbrc, ["vertex", "c"], "outer")
-            .select(
-                "vertex", "c", F.coalesce("kvc", F.lit(0.0)).alias("kvc")
+            .select(F.col("a").alias("vertex"), "c", "w")
+            .unionByName(
+                active.select(
+                    "vertex",
+                    F.col("community").alias("c"),
+                    F.lit(0.0).alias("w"),
+                )
             )
+            .repartition(num_partitions, "vertex")
+            .groupBy("vertex", "c")
+            .agg(F.sum("w").alias("kvc"))
         )
         scored = (
             cand.join(_b(active.select("vertex", "community", "k")), "vertex")

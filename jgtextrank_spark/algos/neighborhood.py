@@ -171,6 +171,9 @@ def hyperball_result(
             # (Boldi & Vigna's HyperBall payoff: an all-pairs-BFS-class
             # quantity from the same sketches, no extra pass)
             F.lit(0.0).alias("hsum"),
+            # systolic frontier flag: did the SKETCH change last round?
+            # (init: everything is fresh)
+            F.lit(True).alias("chg"),
         )
     )
     # per-superstep totals keyed by iteration; durable next to the
@@ -194,10 +197,22 @@ def hyperball_result(
             fsutil.delete(spark, totals_path)  # fresh run: drop stale totals
 
     def step(state: DataFrame, it: int):
+        # Systolic HyperBall (Boldi & Vigna's own optimization): only
+        # sketches that CHANGED last round are shipped through the union
+        # aggregation. Sound because sketches are register-wise monotone:
+        # after round t, sketch(v) already contains every neighbour's
+        # round-(t-1) sketch, so an unchanged neighbour's contribution is
+        # a no-op in the register-max union — the merged registers (and
+        # therefore the serialized sketch, the estimate, and every n_t
+        # total) are bit-identical to the ship-everything plan, while the
+        # per-round shuffle shrinks from O(E) sketches to O(edges out of
+        # the frontier). Guide §2.3: shuffle fewer bytes.
         nb = (
             adj.join(
-                state.select(F.col("vertex").alias("u"),
-                             F.col("sketch").alias("sk_u")),
+                state.filter(F.col("chg")).select(
+                    F.col("vertex").alias("u"),
+                    F.col("sketch").alias("sk_u"),
+                ),
                 "u",
             )
             .groupBy("v")
@@ -212,12 +227,23 @@ def hyperball_result(
                 ).otherwise(
                     F.hll_union(state["sketch"], F.col("nb_sk"))
                 ).alias("sketch"),
+                state["sketch"].alias("prev_sketch"),
                 state["est"].alias("prev_est"),
                 state["hsum"].alias("prev_hsum"),
             )
             .withColumn(
-                "est", F.hll_sketch_estimate("sketch").cast("double")
+                # untouched vertices keep their estimate (the estimate is
+                # a deterministic function of the unchanged sketch bytes)
+                "est",
+                F.when(
+                    F.col("sketch") == F.col("prev_sketch"),
+                    F.col("prev_est"),
+                ).otherwise(
+                    F.hll_sketch_estimate("sketch").cast("double")
+                ),
             )
+            .withColumn("chg", F.col("sketch") != F.col("prev_sketch"))
+            .drop("prev_sketch")
             .withColumn(
                 # estimate differences can dip below 0 at HLL noise scale
                 "hsum",

@@ -46,7 +46,7 @@ def pagerank_result(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     broadcast_threshold: int = 2_000_000,
-    truncate_every: int = 1,
+    truncate_every: int = 3,
     salt_buckets: int = 0,
     personalization: DataFrame | None = None,
     init_scores: DataFrame | None = None,
@@ -238,18 +238,16 @@ def pagerank_result(
         if salt_buckets > 0:
             # explicit two-stage tree aggregation: partials keyed by
             # (dst, hash(src) % S) bound any one reducer partition to
-            # ~1/S of a hot destination's messages, then S partials merge.
-            partial = msgs.withColumn(
+            # ~1/S of a hot destination's messages, then S partials merge
+            # in the fused state aggregation below.
+            contrib_rows = msgs.withColumn(
                 "rsalt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
             ).groupBy("dst", "rsalt").agg(
-                F.sum(F.col("nw") * F.col("rank")).alias("pcontrib")
-            )
-            contribs = partial.groupBy("dst").agg(
-                F.sum("pcontrib").alias("contrib")
-            )
-        else:
-            contribs = msgs.groupBy("dst").agg(
                 F.sum(F.col("nw") * F.col("rank")).alias("contrib")
+            ).select("dst", "contrib")
+        else:
+            contrib_rows = msgs.select(
+                "dst", (F.col("nw") * F.col("rank")).alias("contrib")
             )
         if personalization is None:
             base = F.lit(alpha * dangle_sum / n + (1.0 - alpha) / n)
@@ -259,19 +257,52 @@ def pagerank_result(
             # alpha*dangle*p + (1-alpha)*p = (alpha*dangle + 1-alpha)*p
             base = F.lit(alpha * dangle_sum + (1.0 - alpha)) * F.col("pv")
             carry = [F.col("pv")]
-        new_state = (
-            state.select(
-                "vertex", "dangling", F.col("rank").alias("prev_rank"),
-                *carry,
+        # Fused contribution aggregation + state update: the old plan
+        # aggregated messages to a `contribs` table and then JOINED it
+        # back onto the state — at broadcast scale that join-back cost a
+        # second V-sized driver collect + broadcast build per superstep,
+        # at shuffle scale a second exchange. Instead the state rows ride
+        # the SAME aggregation as the messages (contrib 0.0, carrying
+        # dangling/prev_rank/pv through max() — exactly one state row per
+        # vertex, so the max() just forwards the value): one exchange,
+        # no join-back, and every vertex is present in the output (the
+        # old left-join semantics). Contribution sums are reassociated
+        # only (the 0.0 is exact), same guarantee as the salted path.
+        merged = state.select(
+            "vertex",
+            F.lit(0.0).alias("contrib"),
+            "dangling",
+            F.col("rank").alias("prev_rank"),
+            *carry,
+        ).unionByName(
+            contrib_rows.select(
+                F.col("dst").alias("vertex"),
+                "contrib",
+                F.lit(None).cast("boolean").alias("dangling"),
+                F.lit(None).cast("double").alias("prev_rank"),
+                *(
+                    [F.lit(None).cast("double").alias("pv")]
+                    if personalization is not None
+                    else []
+                ),
             )
-            .join(_b(contribs), F.col("vertex") == F.col("dst"), "left")
+        )
+        new_state = (
+            merged.groupBy("vertex")
+            .agg(
+                F.sum("contrib").alias("contrib"),
+                F.max("dangling").alias("dangling"),
+                F.max("prev_rank").alias("prev_rank"),
+                *(
+                    [F.max("pv").alias("pv")]
+                    if personalization is not None
+                    else []
+                ),
+            )
             .select(
                 "vertex",
                 "dangling",
-                (
-                    F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
-                    + base
-                ).alias("rank"),
+                (F.lit(alpha) * F.col("contrib") + base).alias("rank"),
                 "prev_rank",
                 *carry,
             )
@@ -449,16 +480,6 @@ def pagerank_multi_seed(
     seed_df = seed_df.localCheckpoint(eager=True)
 
     out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
-    adjn = (
-        edges.join(out_deg, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col(weight_col) / F.col("out_w")).alias("prob"),
-        )
-        .repartition(num_partitions, "src")
-        .persist()
-    )
     verts = (
         edges.select(F.col("src").alias("vertex"))
         .unionByName(edges.select(F.col("dst").alias("vertex")))
@@ -468,9 +489,51 @@ def pagerank_multi_seed(
     dangling = verts.join(
         out_deg.select(F.col("src").alias("vertex")), "vertex", "left_anti"
     ).localCheckpoint(eager=True)
+    # the dangling flag RIDES the state rows (attached to the adjacency's
+    # dst side and to the seeds once, then forwarded by the per-round
+    # aggregation) so the per-round dangling-mass aggregate is a filter
+    # over the state instead of a join against the dangling table —
+    # one join fewer per round, same sums (the flag is a per-vertex
+    # constant). Guide §2.4: remove per-round work that can be
+    # precomputed into the static side.
+    ddang = dangling.select(F.col("vertex").alias("dst")).withColumn(
+        "ddang", F.lit(True)
+    )
+    adjn = (
+        edges.join(out_deg, "src")
+        .join(ddang, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            (F.col(weight_col) / F.col("out_w")).alias("prob"),
+            F.coalesce("ddang", F.lit(False)).alias("ddang"),
+        )
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    seed_dang = seed_df.join(
+        dangling.select(F.col("vertex").alias("s")).withColumn(
+            "sdang", F.lit(True)
+        ),
+        "s",
+        "left",
+    ).select(
+        "s",
+        # a seed absent from the graph has no out-edges recorded; it is
+        # dangling exactly when it has no out_deg row, which the
+        # left-anti dangling table only covers for in-graph ids — seeds
+        # outside the graph never receive or emit contributions anyway,
+        # so their flag only routes their own teleport mass back to the
+        # per-seed dangling sum, matching the old join-with-dangling
+        # behaviour (absent from `dangling` => not counted).
+        F.coalesce("sdang", F.lit(False)).alias("sdang"),
+    ).localCheckpoint(eager=True)
 
-    state = seed_df.select(
-        "s", F.col("s").alias("vertex"), F.lit(1.0).alias("score")
+    state = seed_dang.select(
+        "s",
+        F.col("s").alias("vertex"),
+        F.lit(1.0).alias("score"),
+        F.col("sdang").alias("dang"),
     ).repartition(num_partitions, "s", "vertex").localCheckpoint(eager=True)
 
     for it in range(1, max_iter + 1):
@@ -486,25 +549,30 @@ def pagerank_multi_seed(
                 (F.col("score") * F.col("prob") * F.lit(alpha)).alias(
                     "score"
                 ),
+                F.col("ddang").alias("dang"),
             )
         )
         dang = (
-            state.join(dangling, "vertex")
+            state.filter(F.col("dang"))
             .groupBy("s")
             .agg(F.sum("score").alias("dm"))
         )
-        seed_term = seed_df.join(dang, "s", "left").select(
+        seed_term = seed_dang.join(dang, "s", "left").select(
             "s",
             F.col("s").alias("vertex"),
             (
                 F.lit(alpha) * F.coalesce(F.col("dm"), F.lit(0.0))
                 + F.lit(1.0 - alpha)
             ).alias("score"),
+            F.col("sdang").alias("dang"),
         )
         state = (
             contrib.unionByName(seed_term)
             .groupBy("s", "vertex")
-            .agg(F.sum("score").alias("score"))
+            .agg(
+                F.sum("score").alias("score"),
+                F.max("dang").alias("dang"),
+            )
         )
         if min_score > 0.0:
             state = state.filter(F.col("score") >= min_score)

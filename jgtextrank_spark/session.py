@@ -78,7 +78,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor, so its heap must be
+        # sized for executor-style work (cached adjacencies + shuffle +
+        # broadcast churn across hundreds of supersteps). 8g forced tight
+        # GC cycles on the 30M-edge bench graphs; 32g is right for a
+        # 128 GiB box and is still overridable per deployment
+        # (SPARK_DRIVER_MEM). On a real cluster the driver does no data
+        # work and can stay small — size executors instead.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
