@@ -273,7 +273,8 @@ def core_numbers_hindex_result(
     # broadcastable; above the threshold the joins fall back to AQE's
     # runtime choice (a shrinking frontier still converts to broadcast
     # at runtime once it is small enough)
-    bcast = verts.count() <= broadcast_threshold
+    n_verts = verts.count()
+    bcast = n_verts <= broadcast_threshold
 
     def _b(df):
         return F.broadcast(df) if bcast else df
@@ -291,6 +292,11 @@ def core_numbers_hindex_result(
         )
     )
 
+    # previous round's changed-vertex count, threaded driver-side so the
+    # step can pick full vs frontier recomputation (both produce
+    # bit-identical h values; this is purely a cost decision)
+    last_changed: dict[str, float] = {}
+
     def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
         # ACTIVE-FRONTIER recomputation: h(v) can only change in this
         # round if one of its H-operator inputs changed last round — its
@@ -299,23 +305,39 @@ def core_numbers_hindex_result(
         # bit-identical (a vertex with unchanged inputs recomputes to the
         # same h), while late rounds — where only a residue of vertices
         # still moves — shrink from O(E) joined rows to O(edges touching
-        # the frontier). Guide §2.3: shuffle fewer bytes.
-        chg = state.filter(F.col("h") != F.col("prev"))
-        cand = (
-            adj.join(_b(chg.select(F.col("vertex").alias("u"))), "u")
-            .select("v")
-            .unionByName(chg.select(F.col("vertex").alias("v")))
-            .distinct()
+        # the frontier). Guide §2.3: shuffle fewer bytes. While the
+        # frontier is still a sizable fraction of V (early rounds), the
+        # candidate discovery + semi-join cost MORE than they save
+        # (measured +12% on the 2M-edge bench with frontier-always), so
+        # the full recompute runs until the changed count drops below
+        # a few hundred vertices (the long-tail regime where the
+        # frontier's asymptotic advantage is unconditional — per-round
+        # walls show frontier rounds only undercut the slimmed full
+        # recompute once the residue is ~0.25% of V at bench scale).
+        frontier = (
+            last_changed.get("n") is not None
+            and last_changed["n"] * 400 < last_changed.get("v", 0)
         )
         hu = state.select(F.col("vertex").alias("u"), F.col("h").alias("h_u"))
         hv = state.select(F.col("vertex").alias("v"), F.col("h").alias("h_v"))
+        if frontier:
+            chg = state.filter(F.col("h") != F.col("prev"))
+            cand = (
+                adj.join(_b(chg.select(F.col("vertex").alias("u"))), "u")
+                .select("v")
+                .unionByName(chg.select(F.col("vertex").alias("v")))
+                .distinct()
+            )
+            msgs = adj.join(_b(cand), "v", "semi")
+        else:
+            msgs = adj
         # one explicit exchange by v; the groupBy(v, h_u), the cumulative
         # window and the final groupBy(v) all reuse it (hash partitioning
         # on v satisfies their clustering requirements) — the old plan
         # exchanged separately for the (v, h_u) aggregation and the
         # window
         grp = (
-            adj.join(_b(cand), "v", "semi")
+            msgs
             .join(hu, "u")
             .repartition(num_partitions, "v")
             .groupBy("v", "h_u")
@@ -353,6 +375,8 @@ def core_numbers_hindex_result(
                 F.when(F.col("h") != F.col("prev"), 1).otherwise(0)
             ).alias("c")
         ).collect()[0]["c"]
+        last_changed["n"] = float(changed or 0)
+        last_changed["v"] = float(n_verts)
         return new_state, float(changed or 0)
 
     result = run_supersteps(

@@ -207,6 +207,11 @@ def louvain_move_phase(
         # (a, c) aggregation, the outer join and the window. Weight
         # sums are integral (the documented exactness scope), so the
         # zero-row and any addition-order change are exact.
+        # the zero-weight current-community row ALSO carries the active
+        # vertex's own (community, k); the vertex-partitioned window
+        # rebroadcasts them to the vertex's other candidate rows (exactly
+        # one non-null per vertex), so the old per-round broadcast join
+        # of the active frame disappears
         cand = (
             mirror.filter(_gate(F.concat(F.lit(pfx), F.col("a"))))
             .join(
@@ -218,20 +223,35 @@ def louvain_move_phase(
                 ),
                 "b",
             )
-            .select(F.col("a").alias("vertex"), "c", "w")
+            .select(
+                F.col("a").alias("vertex"),
+                "c",
+                "w",
+                F.lit(None).cast(state.schema["community"].dataType)
+                .alias("cm0"),
+                F.lit(None).cast("double").alias("k0"),
+            )
             .unionByName(
                 active.select(
                     "vertex",
                     F.col("community").alias("c"),
                     F.lit(0.0).alias("w"),
+                    F.col("community").alias("cm0"),
+                    F.col("k").alias("k0"),
                 )
             )
             .repartition(num_partitions, "vertex")
             .groupBy("vertex", "c")
-            .agg(F.sum("w").alias("kvc"))
+            .agg(
+                F.sum("w").alias("kvc"),
+                F.max("cm0").alias("cm"),
+                F.max("k0").alias("kk"),
+            )
         )
+        wv = Window.partitionBy("vertex")
         scored = (
-            cand.join(_b(active.select("vertex", "community", "k")), "vertex")
+            cand.withColumn("community", F.max("cm").over(wv))
+            .withColumn("k", F.max("kk").over(wv))
             .join(_b(vol.select(F.col("community").alias("c"), "vol")), "c")
             .select(
                 "vertex",
@@ -253,9 +273,10 @@ def louvain_move_phase(
                 ).alias("s"),
             )
         )
-        # ONE window pass extracts both the argmax candidate and the
-        # current community's score — never self-join the scored frame.
-        wv = Window.partitionBy("vertex")
+        # ONE ordered window pass extracts both the argmax candidate and
+        # the current community's score — never self-join the scored
+        # frame. Same vertex partitioning as the aggregation above: the
+        # round has exactly one exchange.
         wo = wv.orderBy(F.col("s").desc(), F.col("c").asc())
         moves = (
             scored.withColumn(

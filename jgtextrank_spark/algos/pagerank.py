@@ -46,7 +46,7 @@ def pagerank_result(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     broadcast_threshold: int = 2_000_000,
-    truncate_every: int = 3,
+    truncate_every: int = 1,
     salt_buckets: int = 0,
     personalization: DataFrame | None = None,
     init_scores: DataFrame | None = None,
@@ -238,16 +238,18 @@ def pagerank_result(
         if salt_buckets > 0:
             # explicit two-stage tree aggregation: partials keyed by
             # (dst, hash(src) % S) bound any one reducer partition to
-            # ~1/S of a hot destination's messages, then S partials merge
-            # in the fused state aggregation below.
-            contrib_rows = msgs.withColumn(
+            # ~1/S of a hot destination's messages, then S partials merge.
+            partial = msgs.withColumn(
                 "rsalt", F.pmod(F.xxhash64("src"), F.lit(salt_buckets))
             ).groupBy("dst", "rsalt").agg(
-                F.sum(F.col("nw") * F.col("rank")).alias("contrib")
-            ).select("dst", "contrib")
+                F.sum(F.col("nw") * F.col("rank")).alias("pcontrib")
+            )
+            contribs = partial.groupBy("dst").agg(
+                F.sum("pcontrib").alias("contrib")
+            )
         else:
-            contrib_rows = msgs.select(
-                "dst", (F.col("nw") * F.col("rank")).alias("contrib")
+            contribs = msgs.groupBy("dst").agg(
+                F.sum(F.col("nw") * F.col("rank")).alias("contrib")
             )
         if personalization is None:
             base = F.lit(alpha * dangle_sum / n + (1.0 - alpha) / n)
@@ -257,52 +259,30 @@ def pagerank_result(
             # alpha*dangle*p + (1-alpha)*p = (alpha*dangle + 1-alpha)*p
             base = F.lit(alpha * dangle_sum + (1.0 - alpha)) * F.col("pv")
             carry = [F.col("pv")]
-        # Fused contribution aggregation + state update: the old plan
-        # aggregated messages to a `contribs` table and then JOINED it
-        # back onto the state — at broadcast scale that join-back cost a
-        # second V-sized driver collect + broadcast build per superstep,
-        # at shuffle scale a second exchange. Instead the state rows ride
-        # the SAME aggregation as the messages (contrib 0.0, carrying
-        # dangling/prev_rank/pv through max() — exactly one state row per
-        # vertex, so the max() just forwards the value): one exchange,
-        # no join-back, and every vertex is present in the output (the
-        # old left-join semantics). Contribution sums are reassociated
-        # only (the 0.0 is exact), same guarantee as the salted path.
-        merged = state.select(
-            "vertex",
-            F.lit(0.0).alias("contrib"),
-            "dangling",
-            F.col("rank").alias("prev_rank"),
-            *carry,
-        ).unionByName(
-            contrib_rows.select(
-                F.col("dst").alias("vertex"),
-                "contrib",
-                F.lit(None).cast("boolean").alias("dangling"),
-                F.lit(None).cast("double").alias("prev_rank"),
-                *(
-                    [F.lit(None).cast("double").alias("pv")]
-                    if personalization is not None
-                    else []
-                ),
-            )
-        )
+        # NOTE (measured, this round): fusing the contribution aggregation
+        # into the state update (state rows unioned into the message
+        # groupBy, dangling/prev_rank carried through max()) looked like
+        # it should save the per-superstep contribs join-back, but at the
+        # 30M-edge bench scale it ran 2-3x SLOWER per superstep: the
+        # per-partition hash-agg buffer for ~1M distinct dsts per task is
+        # already at the spill edge with one double-sized sum, and the
+        # extra carried buffers pushed the partial aggregation into
+        # sort-based fallback. The narrow groupBy(dst) + join-back below
+        # is the right shape; keep the contribution aggregation's agg
+        # buffer to exactly one double.
         new_state = (
-            merged.groupBy("vertex")
-            .agg(
-                F.sum("contrib").alias("contrib"),
-                F.max("dangling").alias("dangling"),
-                F.max("prev_rank").alias("prev_rank"),
-                *(
-                    [F.max("pv").alias("pv")]
-                    if personalization is not None
-                    else []
-                ),
+            state.select(
+                "vertex", "dangling", F.col("rank").alias("prev_rank"),
+                *carry,
             )
+            .join(_b(contribs), F.col("vertex") == F.col("dst"), "left")
             .select(
                 "vertex",
                 "dangling",
-                (F.lit(alpha) * F.col("contrib") + base).alias("rank"),
+                (
+                    F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
+                    + base
+                ).alias("rank"),
                 "prev_rank",
                 *carry,
             )

@@ -130,6 +130,21 @@ def strongly_connected_components(
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
+    def _ckpt_m(df: DataFrame) -> DataFrame:
+        # persist + materialize BEFORE localCheckpoint: Spark 4 rewrites
+        # the checkpoint LogicalRDD's stats from the SOURCE plan, and the
+        # E-rebuild join chain's product-of-children estimate compounds
+        # across peel passes (V's estimate now derives from E's through
+        # the trim-flag aggregation, so unmaterialized stats grow
+        # EXPONENTIALLY in bit length — the NOTES "stats-squaring"
+        # footgun, here ending in BigInteger OOM). With the cache
+        # materialized the rewritten stats are the actual (tiny) size.
+        df = df.persist()
+        df.count()
+        out = df.localCheckpoint(eager=True)
+        df.unpersist()
+        return out
+
     def _rec(**kw) -> None:
         if _metrics is not None:
             _metrics.append(kw)
@@ -190,19 +205,43 @@ def strongly_connected_components(
 
     for _outer in range(start_outer, max_outer):
         # ---- trim to fixpoint: no in-edges or no out-edges => singleton.
-        # 3 jobs per peel level (count / E-ckpt / V-ckpt), edge set only
-        # shrinks; eats the acyclic tendrils so coloring never sees them.
+        # One flagged pass over V per peel level: a single checkpointed
+        # frame carries the keep/trim decision, and both the trimmed
+        # singletons and the surviving V are cheap filters over it (the
+        # old plan ran a separate anti-join + checkpoint for each). Edge
+        # set only shrinks; eats the acyclic tendrils so coloring never
+        # sees them.
         for _trim_pass in range(max_inner):
-            both = (
-                E.select(F.col("src").alias("vertex"))
-                .distinct()
-                .join(E.select(F.col("dst").alias("vertex")).distinct(),
-                      "vertex")
-            )
-            trimmed = _ckpt(
-                V.join(both, "vertex", "left_anti").withColumn(
-                    "component", F.col("vertex")
+            # keep/trim flags via ONE union + bit-OR aggregation instead
+            # of two outer joins: besides being a single exchange, the
+            # aggregation reports sane size stats — an outer-join chain
+            # here feeds Spark 4's localCheckpoint stats rewrite a
+            # product-of-children estimate that then SQUARES through the
+            # coloring loop's per-round checkpoint (the NOTES
+            # "stats-squaring" footgun: multi-megabit BigInteger
+            # arithmetic in the stats visitor pinning the driver).
+            fl = _ckpt(
+                V.select("vertex", F.lit(1).alias("m"))
+                .unionByName(
+                    E.select(F.col("src").alias("vertex"),
+                             F.lit(2).alias("m"))
                 )
+                .unionByName(
+                    E.select(F.col("dst").alias("vertex"),
+                             F.lit(4).alias("m"))
+                )
+                .groupBy("vertex")
+                .agg(F.bit_or("m").alias("mask"))
+                # restrict to rows backed by a V row (bit 1); E is always
+                # V-filtered so this is defensive only
+                .filter(F.col("mask").bitwiseAND(1) == 1)
+                .select(
+                    "vertex",
+                    (F.col("mask").bitwiseAND(6) == 6).alias("keep"),
+                )
+            )
+            trimmed = fl.filter(~F.col("keep")).select(
+                "vertex", F.col("vertex").alias("component")
             )
             n_trim = trimmed.count()
             if n_trim == 0:
@@ -210,8 +249,8 @@ def strongly_connected_components(
             _rec(event="trim", outer=_outer, trim_pass=_trim_pass,
                  trimmed=n_trim)
             assigned.append(trimmed)
-            V = _ckpt(V.join(trimmed.select("vertex"), "vertex", "left_anti"))
-            E = _ckpt(
+            V = fl.filter(F.col("keep")).select("vertex")
+            E = _ckpt_m(
                 E.join(V.select(F.col("vertex").alias("src")), "src").join(
                     V.select(F.col("vertex").alias("dst")), "dst"
                 ).select("src", "dst")
@@ -226,11 +265,21 @@ def strongly_connected_components(
         # ---- forward min-coloring to fixpoint, pointer-jump accelerated:
         # color(v) <- min(color(v), min over in-edges color(u),
         #                 color(color(v)))
-        colors = _ckpt(V.withColumn("color", F.col("vertex")))
+        # frontier coloring: only CHANGED colors are propagated along the
+        # edges each superstep — an unchanged in-neighbour's color was
+        # already folded into color(v) the round it last changed (colors
+        # are monotone non-increasing), so restricting the edge join to
+        # the frontier leaves every per-round color bit-identical while
+        # late rounds shrink to the still-moving residue.
+        colors = _ckpt(
+            V.withColumn("color", F.col("vertex")).withColumn(
+                "chg", F.lit(True)
+            )
+        )
         for _color_step in range(max_inner):
             cmin = (
                 E.join(
-                    colors.select(
+                    colors.filter(F.col("chg")).select(
                         F.col("vertex").alias("src"),
                         F.col("color").alias("c_src"),
                     ),
@@ -269,7 +318,11 @@ def strongly_connected_components(
                 ).collect()[0]["c"]
                 or 0
             )
-            colors = nxt.select("vertex", "color")
+            colors = nxt.select(
+                "vertex",
+                "color",
+                (F.col("color") != F.col("prev")).alias("chg"),
+            )
             if changed == 0:
                 _rec(event="coloring", outer=_outer,
                      supersteps=_color_step + 1)
@@ -331,7 +384,7 @@ def strongly_connected_components(
              remaining=n_left)
         if n_left == 0:
             return _union_assigned(spark, assigned)
-        E = _ckpt(
+        E = _ckpt_m(
             E.join(V.select(F.col("vertex").alias("src")), "src").join(
                 V.select(F.col("vertex").alias("dst")), "dst"
             ).select("src", "dst")
