@@ -178,13 +178,19 @@ def boruvka_msf(
             .localCheckpoint(eager=True)
         )
         for _jump in range(64):
+            # TWO pointer jumps per convergence check (r <- r(r(c))):
+            # each check costs a full persist+agg+checkpoint cycle of
+            # driver-side fixed work, so squaring the jump per iteration
+            # halves the number of cycles for the same fixpoint (an extra
+            # jump at the fixpoint is a no-op, so `chg` still reaches 0).
             j = (
                 q.alias("a")
                 .join(q.alias("b"), F.col("a.r") == F.col("b.c"))
+                .join(q.alias("d"), F.col("b.r") == F.col("d.c"))
                 .select(
                     F.col("a.c").alias("c"),
-                    F.col("b.r").alias("r"),
-                    (F.col("a.r") != F.col("b.r")).cast("int").alias("chg"),
+                    F.col("d.r").alias("r"),
+                    (F.col("a.r") != F.col("d.r")).cast("int").alias("chg"),
                 )
                 .persist()
             )
