@@ -208,6 +208,265 @@ def ex_msf(spark):
     msf.unpersist()
 
 
+def ex_textrank_phases(spark):
+    """Phase split of the flagship textrank_keywords bench row (sf0.1):
+    sentence build / co-occur graph / solver / collapse+weigh."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from jgtextrank_spark.corpus import build_sentences
+    from jgtextrank_spark.graph import cooccurrence_edges
+    from jgtextrank_spark.textrank import (
+        collapse_candidates,
+        solve_scores,
+        top_t_vertices,
+        vertices_from_sentences,
+        weigh_candidates,
+    )
+
+    pages = entrymod._docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    sents = build_sentences(pages).persist()
+    t("sentences (build+materialize)", lambda: sents.count())
+    edges = cooccurrence_edges(
+        sents, window=2, conn_with_original_ctx=True, weighted=False
+    ).persist()
+    t("edges (cooccur)", lambda: edges.count())
+    vertices = vertices_from_sentences(sents).persist()
+    t("vertices", lambda: vertices.count())
+    holder = {}
+
+    def _solve():
+        holder["s"] = solve_scores(
+            edges, vertices, solver="pagerank", max_iter=100, tol=1e-6,
+            directed=False,
+        ).persist()
+        holder["s"].count()
+
+    t("solver (pagerank to conv)", _solve)
+    scores = holder["s"]
+    top = top_t_vertices(scores, top_p=1.0).persist()
+    t("top_t", lambda: top.count())
+    cands = collapse_candidates(sents, scores, per_doc=True)
+    wt = weigh_candidates(cands, scores, top, weight_comb="sum", mu=5)
+    t("collapse+weigh+sort", lambda: len(
+        wt.orderBy(F.desc("score"), F.asc("term")).collect()
+    ))
+    for df in (sents, edges, vertices, scores, top):
+        df.unpersist()
+
+
+def ex_weblinks_phases(spark):
+    """Phase split of web_links_and_host_pagerank (sf0.1): page synth +
+    link extraction + host rollup vs the PR_ITERS-superstep pagerank."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from jgtextrank_spark.algos.pagerank import pagerank
+    from jgtextrank_spark.weblinks import host_edges, link_edges
+
+    he = host_edges(
+        link_edges(entrymod._synth_pages(spark, sf_dir))
+    ).persist()
+    t("host_edges (links+rollup)", lambda: he.count())
+    t("host pagerank 20it", lambda: pagerank(
+        he, max_iter=entrymod.PR_ITERS, tol=0.0, checkpoint_every=0
+    ).collect())
+    he.unpersist()
+
+
+def ex_betweenness_levels(spark):
+    """Per-level instrumented copy of the betweenness forward/backward
+    sweeps on the 2M power-law graph (k=8) — where do the ~29s go?"""
+    from pyspark.sql import DataFrame
+
+    edges = synth_powerlaw_edges(spark, 200_000, 2_000_000).persist()
+    edges.count()
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.time()
+    adj = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = (
+        adj.select(F.col("src").alias("vertex"))
+        .unionByName(adj.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    srcs = (
+        verts.orderBy(F.md5(F.col("vertex").cast("string")), F.col("vertex"))
+        .limit(8)
+        .select(F.col("vertex").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    n_sources = srcs.count()
+    print(f"setup: {time.time()-t0:.2f}s n={n} sources={n_sources}")
+    cur = (
+        srcs.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
+        .repartition(num_partitions, "s", "v")
+        .localCheckpoint(eager=True)
+    )
+    levels = [cur]
+    visited = cur.select("s", "v")
+    depth = 0
+    fwd = []
+    while True:
+        depth += 1
+        t1 = time.time()
+        newly = (
+            cur.join(adj, cur["v"] == adj["src"])
+            .select("s", F.col("dst").alias("nv"), "sigma")
+            .groupBy("s", F.col("nv").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        c = newly.count()
+        fwd.append((round(time.time() - t1, 2), c))
+        if c == 0:
+            break
+        levels.append(newly)
+        visited = visited.unionByName(newly.select("s", "v"))
+        cur = newly
+    print(f"forward levels (sec, frontier): {fwd}")
+    bc_parts = []
+    delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
+    bwd = []
+    for lvl in range(len(levels) - 1, 0, -1):
+        t1 = time.time()
+        bc_parts.append(delta)
+        wd = levels[lvl].join(delta, ["s", "v"]).select(
+            "s", F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"), "delta",
+        )
+        contrib = (
+            wd.join(adj, wd["w"] == adj["dst"])
+            .select("s", F.col("src").alias("v"), "sigma_w", "delta")
+            .join(
+                levels[lvl - 1].select(
+                    "s", "v", F.col("sigma").alias("sigma_v")
+                ),
+                ["s", "v"],
+            )
+            .groupBy("s", "v")
+            .agg(F.sum(
+                F.col("sigma_v") / F.col("sigma_w")
+                * (F.lit(1.0) + F.col("delta"))
+            ).alias("delta"))
+        )
+        delta = (
+            levels[lvl - 1].select("s", "v")
+            .join(contrib, ["s", "v"], "left")
+            .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        bwd.append(round(time.time() - t1, 2))
+    print(f"backward levels (sec): {bwd}")
+    t1 = time.time()
+    acc = bc_parts[0]
+    for part in bc_parts[1:]:
+        acc = acc.unionByName(part)
+    bc = acc.groupBy("v").agg(
+        (F.sum("delta") * F.lit(0.5 * n / n_sources)).alias("betweenness")
+    )
+    out = verts.join(bc, verts["vertex"] == bc["v"], "left").select(
+        "vertex", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+    nz = out.filter(F.col("betweenness") > 0).count()
+    print(f"final agg: {time.time()-t1:.2f}s nonzero={nz}")
+    adj.unpersist()
+    edges.unpersist()
+
+
+def ex_cc_inc_phases(spark):
+    """Warm-start CC on the 200k chain: setup vs per-round walls."""
+    from jgtextrank_spark.algos.components import connected_components_result
+
+    n, n_delta = 200_000, 100
+    base = spark.range(n - 1).filter(F.col("id") != n // 2).select(
+        F.format_string("v%07d", F.col("id")).alias("src"),
+        F.format_string("v%07d", F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    res_a = connected_components_result(base, checkpoint_every=0)
+    prior = res_a.state.select(
+        F.col("vertex").alias("id"), "label"
+    ).localCheckpoint(eager=True)
+    chords = spark.range(n_delta).select(
+        F.format_string(
+            "v%07d", F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n))
+        ).alias("src"),
+        F.format_string(
+            "v%07d", F.pmod(F.xxhash64(F.col("id") * 2 + 2), F.lit(n))
+        ).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    edges_b = base.unionByName(chords).localCheckpoint(eager=True)
+    t0 = time.time()
+    warm = connected_components_result(
+        edges_b, checkpoint_every=0, init_labels=prior
+    )
+    wall = time.time() - t0
+    steps = [m for m in warm.metrics if m["event"] == "step"]
+    rounds_s = sum(m["wall_ms"] for m in steps) / 1000
+    print(
+        f"cc_inc warm: {wall:.2f}s rounds={warm.iterations} "
+        f"rounds_sec={rounds_s:.2f} setup_sec={wall - rounds_s:.2f} "
+        f"per-round={[round(m['wall_ms']/1000, 2) for m in steps]}"
+    )
+
+
+def ex_leiden_phases(spark):
+    """Leiden budget-12 on the 2M power-law graph with per-phase walls
+    (move levels vs refinement CC vs contraction)."""
+    from jgtextrank_spark.algos import louvain as lv
+
+    edges = synth_powerlaw_edges(spark, 200_000, 2_000_000).persist()
+    edges.count()
+    orig_move = lv.louvain_move_phase
+    orig_refine = lv.refine_partition
+    walls = []
+
+    def timed_move(*a, **k):
+        t1 = time.time()
+        out = orig_move(*a, **k)
+        walls.append(("move", round(time.time() - t1, 2), out[1]))
+        return out
+
+    def timed_refine(*a, **k):
+        t1 = time.time()
+        out = orig_refine(*a, **k)
+        walls.append(("refine", round(time.time() - t1, 2), None))
+        return out
+
+    lv.louvain_move_phase = timed_move
+    lv.refine_partition = timed_refine
+    try:
+        t0 = time.time()
+        res = lv.leiden(edges, levels=2, max_rounds=12)
+        print(
+            f"leiden budget12: {time.time()-t0:.2f}s levels={res.levels} "
+            f"rounds={res.rounds} phases={walls}"
+        )
+    finally:
+        lv.louvain_move_phase = orig_move
+        lv.refine_partition = orig_refine
+    edges.unpersist()
+
+
 def main():
     which = sys.argv[1:] or ["overhead"]
     spark = get()

@@ -76,10 +76,14 @@ def betweenness_sampled(
         adj = adj.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    # one exchange, not two: the repartition by src also satisfies the
+    # dedup aggregation's (src, dst) clustering requirement (same-src rows
+    # are co-located), so dropDuplicates reuses the exchange that the
+    # per-level joins need anyway (guide §2.4)
     adj = (
         adj.filter(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     verts = (
@@ -137,6 +141,19 @@ def betweenness_sampled(
             raise RuntimeError(
                 f"betweenness_sampled: BFS exceeded max_depth={max_depth}"
             )
+        if directed:
+            # a successor of a level-d vertex may sit at ANY level <= d+1,
+            # so the anti join needs the full visited prefix
+            seen = visited
+        else:
+            # symmetric adjacency: |dist(u) - dist(v)| <= 1 across every
+            # edge, so neighbours of the level-d frontier lie in levels
+            # d-1 / d / d+1 — the anti join's right side is two LEVELS,
+            # not the whole growing visited prefix (one less O(reached)
+            # shuffle per level; guide §2.3 shuffle fewer bytes)
+            seen = levels[-1].select("s", "v")
+            if len(levels) >= 2:
+                seen = seen.unionByName(levels[-2].select("s", "v"))
         newly = (
             cur.join(adj, cur["v"] == adj["src"])
             .select("s", F.col("dst").alias("nv"), "sigma")
@@ -145,16 +162,28 @@ def betweenness_sampled(
             # the groupBy already hash-partitions by (s, v); the anti
             # join reuses it and the old explicit repartition was one
             # pure extra exchange per level
-            .join(visited, ["s", "v"], "left_anti")
+            .join(seen, ["s", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if newly.count() == 0:
             break
         levels.append(newly)
-        visited = visited.unionByName(newly.select("s", "v"))
+        if directed:
+            visited = visited.unionByName(newly.select("s", "v"))
         cur = newly
 
     # ---- reverse: dependency accumulation, deepest level first ---------
+    # the sweep needs PREDECESSORS of w. For the symmetric (undirected)
+    # adjacency, {src of edges with dst=w} == {dst of edges with src=w},
+    # so joining on adj's src side is row-identical AND reuses the cached
+    # src hash partitioning — the old dst-side join re-exchanged the full
+    # O(E) adjacency every level (guide §2.4). Directed graphs need the
+    # true dst-side orientation: one dst-partitioned cached copy, built
+    # once, replaces the per-level exchanges.
+    if directed:
+        adj_t = adj.repartition(num_partitions, "dst").persist()
+    else:
+        adj_t = adj
     bc_parts = []
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     for lvl in range(len(levels) - 1, 0, -1):
@@ -165,9 +194,16 @@ def betweenness_sampled(
             F.col("sigma").alias("sigma_w"),
             "delta",
         )
+        if directed:
+            pred = wd.join(adj_t, wd["w"] == adj_t["dst"]).select(
+                "s", F.col("src").alias("v"), "sigma_w", "delta"
+            )
+        else:
+            pred = wd.join(adj, wd["w"] == adj["src"]).select(
+                "s", F.col("dst").alias("v"), "sigma_w", "delta"
+            )
         contrib = (
-            wd.join(adj, wd["w"] == adj["dst"])
-            .select("s", F.col("src").alias("v"), "sigma_w", "delta")
+            pred
             .join(
                 levels[lvl - 1].select(
                     "s", "v", F.col("sigma").alias("sigma_v")
@@ -215,4 +251,6 @@ def betweenness_sampled(
         )
     )
     adj.unpersist()
+    if directed:
+        adj_t.unpersist()
     return out

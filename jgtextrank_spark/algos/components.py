@@ -93,16 +93,32 @@ def connected_components_result(
             F.col("id").alias("vertex"), F.col("label").alias("plabel")
         )
         # only prior labels whose TARGET vertex still exists (defensive
-        # against deleted representatives) and whose OWNER is in-graph
-        valid = pri.join(
-            vl.select(F.col("vertex").alias("plabel")), "plabel", "left_semi"
-        ).join(vl, "vertex", "left_semi").localCheckpoint(eager=True)
-        init = vl.join(valid, "vertex", "left").select(
+        # against deleted representatives) and whose OWNER is in-graph.
+        # ONE checkpointed frame carries both (start from vl, so the
+        # owner check is by construction; targets are semi-validated
+        # first) — init and the virtual star edges are both projections
+        # of it, where the old path checkpointed a semi-joined `valid`
+        # frame and then a second joined `init` frame (one fewer
+        # materialize job at warm-start setup, same row semantics).
+        joined = (
+            vl.join(
+                pri.join(
+                    vl.select(F.col("vertex").alias("plabel")),
+                    "plabel",
+                    "left_semi",
+                ),
+                "vertex",
+                "left",
+            )
+            .localCheckpoint(eager=True)  # truncate the prior-join lineage
+        )
+        valid = joined.filter(F.col("plabel").isNotNull())
+        init = joined.select(
             "vertex",
             F.least(
                 "vertex", F.coalesce("plabel", F.col("vertex"))
             ).alias("label"),
-        ).localCheckpoint(eager=True)  # truncate the prior-join lineage
+        )
         # the load-bearing half of the warm start: prior (vertex, label)
         # pairs become VIRTUAL EDGES. Insert-only deltas guarantee the
         # prior representative is inside the vertex's current component,

@@ -273,11 +273,16 @@ def louvain_move_phase(
                 ).alias("s"),
             )
         )
-        # ONE ordered window pass extracts both the argmax candidate and
+        # ONE unordered window pass extracts both the argmax candidate and
         # the current community's score — never self-join the scored
-        # frame. Same vertex partitioning as the aggregation above: the
-        # round has exactly one exchange.
-        wo = wv.orderBy(F.col("s").desc(), F.col("c").asc())
+        # frame, and never SORT it: the argmax under (s desc, c asc) is
+        # exactly min(struct(-s, c)) (s is decimal(38,0), negation exact;
+        # c is unique per vertex, so the row whose c equals the winner's
+        # is the winner). The old row_number() argmax forced a full sort
+        # of the edge-sized candidate frame every round; both window
+        # aggregates here are unordered and share one WindowExec over the
+        # same vertex partitioning as the aggregation above, so the round
+        # still has exactly one exchange — and no per-round sort.
         moves = (
             scored.withColumn(
                 "cs",
@@ -285,8 +290,15 @@ def louvain_move_phase(
                     F.when(F.col("c") == F.col("community"), F.col("s"))
                 ).over(wv),
             )
-            .withColumn("rn", F.row_number().over(wo))
-            .filter((F.col("rn") == 1) & (F.col("s") > F.col("cs")))
+            .withColumn(
+                "best",
+                F.min(F.struct((-F.col("s")).alias("ns"), F.col("c"))).over(
+                    wv
+                ),
+            )
+            .filter(
+                (F.col("c") == F.col("best.c")) & (F.col("s") > F.col("cs"))
+            )
             .select("vertex", F.col("c").alias("new_c"))
         )
         new_state = (

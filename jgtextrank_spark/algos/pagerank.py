@@ -95,6 +95,7 @@ def pagerank_result(
     agreement with the unsalted path and 1e-6 vs the oracle."""
     spark = edges.sparkSession
     sc = spark.sparkContext
+    np_derived = num_partitions is None
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -143,6 +144,15 @@ def pagerank_result(
         )
     verts = verts.persist()
     n = verts.count()
+    # scale-adaptive loop partitioning (guide §2): derive the cached
+    # adjacency's partition count from the graph size instead of the
+    # session constant — a 7-host or 31-token graph otherwise scans 32
+    # near-empty cached partitions in every one of its supersteps (3
+    # driver jobs x 32 tasks x tens of rounds of pure scheduling). Only
+    # clamps DOWN for small graphs (<=64k vertices); big graphs keep the
+    # configured width, and an explicit num_partitions wins either way.
+    if np_derived and n <= 65536:
+        num_partitions = min(num_partitions, max(1, n // 2048 + 1))
 
     # Rank vectors far smaller than the adjacency are broadcast into both
     # per-superstep joins: each superstep becomes map-only over the cached

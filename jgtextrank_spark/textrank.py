@@ -467,6 +467,12 @@ def keywords_from_sentences(
             "(core.py:939-942); use cooccurrence_edges(weighted=True) for "
             "the generalized engine."
         )
+    # NOTE (measured, r6): the sentence frame is read three times below
+    # (edges, vertex universe, collapse), but persisting it is a small net
+    # LOSS at sf0.1 cold AND warm (A/B 2x2 cold sessions: persist
+    # 20.3/20.0s vs nopersist 19.6/18.1s; warm interleaved avg 9.37 vs
+    # 8.75s) — caching the wide nested tagged frame costs more than
+    # re-running the Arrow tagger on warm workers. Left unpersisted.
     edges = cooccurrence_edges(
         sentences,
         window=window,
