@@ -71,10 +71,16 @@ def betweenness_sampled(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    adj = edges.select("src", "dst")
+    # one traversal of the input lineage (the symmetrizing union reads it
+    # twice, and the page-graph gate feeds the whole link-extraction
+    # pipeline in here); no-op when the caller already persisted it
+    from ..graph import materialize_input
+
+    ebase = materialize_input(edges, "src", "dst")
+    adj = ebase
     if not directed:
         adj = adj.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ebase.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     # one exchange, not two: the repartition by src also satisfies the
     # dedup aggregation's (src, dst) clustering requirement (same-src rows
@@ -86,6 +92,8 @@ def betweenness_sampled(
         .dropDuplicates(["src", "dst"])
         .persist()
     )
+    adj.count()
+    ebase.unpersist()
     verts = (
         adj.select(F.col("src").alias("vertex"))
         .unionByName(adj.select(F.col("dst").alias("vertex")))

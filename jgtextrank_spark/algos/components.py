@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import symmetrize
+from ..graph import materialize_input, symmetrize
 from ..supersteps import SuperstepResult, run_supersteps
 
 __all__ = [
@@ -78,13 +78,22 @@ def connected_components_result(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    verts = edges.select(F.col("src").alias("vertex")).unionByName(
-        edges.select(F.col("dst").alias("vertex"))
+    # Materialize the NARROW edge projection once, then derive the vertex
+    # universe, the warm-start joins and the adjacency from the cache: the
+    # input lineage can be an expensive pipeline (dedup_clusters feeds CC
+    # the whole MinHash candidate chain, ~10 AQE stages per traversal),
+    # and the old setup traversed it 3-4x (vertex union x2, adjacency
+    # fill, racing subplan builds in the first round — measured 8.6s ->
+    # 3.0s first round on the dedup graph). Unpersisted as soon as the
+    # loop's own cached frames (adj, init) are filled.
+    ebase = materialize_input(edges, "src", "dst")
+    verts = ebase.select(F.col("src").alias("vertex")).unionByName(
+        ebase.select(F.col("dst").alias("vertex"))
     )
     if vertices is not None:
         verts = verts.unionByName(vertices.select(F.col("id").alias("vertex")))
 
-    edge_src = edges.select("src", "dst")
+    edge_src = ebase
     if init_labels is None:
         init = verts.distinct().withColumn("label", F.col("vertex"))
     else:
@@ -140,15 +149,20 @@ def connected_components_result(
         .repartition(num_partitions, "src")
         .persist()
     )
+    # fill the adjacency cache before the loop (the first fused round
+    # otherwise reads an unfilled cache from several racing subplans)
+    adj.count()
     init = init.persist()
     init.count()
+    ebase.unpersist()
 
-    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
-        # ONE action per round, broadcast-free (the old plan built four
-        # V-sized broadcasts per round — state, nbr_min, hook, parents —
-        # each a separate driver job that also re-executed the join chain
-        # it hung off; at web scale a V-sized broadcast does not exist at
-        # all). The hook is FUSED into a single vertex-keyed aggregation:
+    def apply_once(state: DataFrame, prev_col: str) -> DataFrame:
+        # ONE hash-min + hook + jump application, broadcast-free (the old
+        # plan built four V-sized broadcasts per application — state,
+        # nbr_min, hook, parents — each a separate driver job that also
+        # re-executed the join chain it hung off; at web scale a V-sized
+        # broadcast does not exist at all). The hook is FUSED into a
+        # single vertex-keyed aggregation:
         #
         #   label1(v) = min(label(v), min over in-edges label(u))
         #   m(v)      = min(label1(v), min over {w : label(w) = v} label1(w))
@@ -159,6 +173,19 @@ def connected_components_result(
         # vertex's label1 BOTH by itself and by its round-start
         # representative — one union + one aggregation instead of the old
         # nbr-min agg + hook agg + two join-backs.
+        #
+        # ``prev_col`` names the input column carried through as the
+        # output's prev_label.
+        #
+        # NOTE (measured, r6): fusing TWO applications into one action
+        # (materialize f(f(state)) with the intermediate persisted) was
+        # tried and REVERTED: it halves driver round-trips and wins ~16%
+        # on the 200k chain, but on small graphs the planner broadcasts
+        # several joins whose children all contain the un-materialized
+        # intermediate, and the concurrent broadcast builds each
+        # recompute its whole subplan — the fused round measured 5x
+        # slower (1.3s -> 6-8s) on the 256-edge dedup_clusters graph.
+        # One application per materialized round is the robust shape.
         nm = (
             adj.join(
                 state.select(F.col("vertex").alias("src"), "label"), "src"
@@ -171,49 +198,51 @@ def connected_components_result(
         ).select(
             "vertex",
             "label",
+            F.col(prev_col).alias("_prev"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("l1"),
         )
         if not accelerated:
-            new_state = l1.select(
+            return l1.select(
                 "vertex",
                 F.col("l1").alias("label"),
-                F.col("label").alias("prev_label"),
+                F.col("_prev").alias("prev_label"),
             )
-        else:
-            # tree hook (fused, see above). Without it, two already-
-            # formed stars bridged by a mid-chain edge merge at ONE hop
-            # per round (pointer jumping shortcuts label chains, not
-            # star-to-star merges); with it the representative absorbs
-            # the bridge's min in one round and the next jump broadcasts
-            # it star-wide: O(log) rounds on bridged-star topologies.
-            m = (
-                l1.select(F.col("vertex").alias("tgt"), "l1")
-                .unionByName(
-                    l1.select(F.col("label").alias("tgt"), "l1")
-                )
-                .groupBy("tgt")
-                .agg(F.min("l1").alias("m"))
+        # tree hook (fused, see above). Without it, two already-
+        # formed stars bridged by a mid-chain edge merge at ONE hop
+        # per round (pointer jumping shortcuts label chains, not
+        # star-to-star merges); with it the representative absorbs
+        # the bridge's min in one round and the next jump broadcasts
+        # it star-wide: O(log) rounds on bridged-star topologies.
+        m = (
+            l1.select(F.col("vertex").alias("tgt"), "l1")
+            .unionByName(
+                l1.select(F.col("label").alias("tgt"), "l1")
             )
-            # pointer jumping: label <- min(m, label(m)); prev_label
-            # rides the same row via the vertex-keyed state join
-            withprev = m.join(
-                state.select(
-                    F.col("vertex"), F.col("label").alias("prev_label")
-                ),
-                m["tgt"] == F.col("vertex"),
-            ).select("vertex", "m", "prev_label")
-            parents = state.select(
-                F.col("vertex").alias("p_vertex"),
-                F.col("label").alias("p_label"),
-            )
-            new_state = withprev.join(
-                parents, withprev["m"] == parents["p_vertex"], "left"
-            ).select(
-                "vertex",
-                F.least("m", F.coalesce("p_label", "m")).alias("label"),
-                "prev_label",
-            )
-        new_state = new_state.persist()
+            .groupBy("tgt")
+            .agg(F.min("l1").alias("m"))
+        )
+        # pointer jumping: label <- min(m, label(m)); prev_label
+        # rides the same row via the vertex-keyed state join
+        withprev = m.join(
+            state.select(
+                F.col("vertex"), F.col(prev_col).alias("prev_label")
+            ),
+            m["tgt"] == F.col("vertex"),
+        ).select("vertex", "m", "prev_label")
+        parents = state.select(
+            F.col("vertex").alias("p_vertex"),
+            F.col("label").alias("p_label"),
+        )
+        return withprev.join(
+            parents, withprev["m"] == parents["p_vertex"], "left"
+        ).select(
+            "vertex",
+            F.least("m", F.coalesce("p_label", "m")).alias("label"),
+            "prev_label",
+        )
+
+    def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
+        new_state = apply_once(state, "label").persist()
         changed = new_state.agg(
             F.sum(
                 F.when(F.col("label") != F.col("prev_label"), 1).otherwise(0)

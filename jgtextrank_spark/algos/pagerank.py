@@ -99,14 +99,24 @@ def pagerank_result(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    edge_ids = edges.select(F.col("src").alias("id")).unionByName(
-        edges.select(F.col("dst").alias("id"))
+    # one traversal of the (possibly expensive) input lineage: the vertex
+    # union, the out-degree aggregate and the normalized adjacency below
+    # all derive from this narrow cached projection instead of each
+    # re-running the upstream pipeline (link extraction / tokenizer /
+    # candidate generation). No-op when the caller already persisted the
+    # edge table. Unpersisted once verts + norm_edges are filled.
+    from ..graph import materialize_input
+
+    ebase = materialize_input(edges, "src", "dst", weight_col)
+
+    edge_ids = ebase.select(F.col("src").alias("id")).unionByName(
+        ebase.select(F.col("dst").alias("id"))
     )
     if vertices is not None:
         edge_ids = edge_ids.unionByName(vertices.select("id"))
     verts = edge_ids.distinct()
 
-    out_deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
+    out_deg = ebase.groupBy("src").agg(F.sum(weight_col).alias("out_w"))
 
     verts = verts.join(
         out_deg.select(F.col("src").alias("id")).withColumn(
@@ -160,7 +170,7 @@ def pagerank_result(
     # joins against the pre-partitioned adjacency take over.
     bcast = n <= broadcast_threshold
 
-    norm_edges = edges.join(out_deg, "src").select(
+    norm_edges = ebase.join(out_deg, "src").select(
         "src",
         "dst",
         (F.col(weight_col).cast("double") / F.col("out_w")).alias("nw"),
@@ -180,6 +190,7 @@ def pagerank_result(
         norm_edges = norm_edges.repartition(num_partitions, "src")
     norm_edges = norm_edges.persist()
     norm_edges.count()  # materialize adjacency once
+    ebase.unpersist()   # verts + norm_edges now hold everything the loop needs
 
     if n == 0:
         empty = verts.select(

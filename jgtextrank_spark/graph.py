@@ -40,7 +40,33 @@ __all__ = [
     "canonicalize",
     "encode_vertices",
     "decode_scores",
+    "materialize_input",
 ]
+
+
+def materialize_input(edges: DataFrame, *cols: str):
+    """Project ``edges`` to ``cols`` and persist+materialize the
+    projection — UNLESS the input DataFrame is itself already cached.
+
+    The iterative solvers derive several setup frames from their edge
+    input (vertex universe, out-degrees, adjacency); when the input's
+    lineage is an expensive pipeline (MinHash candidates, link
+    extraction, the tokenizer), every derivation re-traverses it — ~10
+    AQE stage-jobs per traversal — and racing broadcast-subplan builds
+    in the first superstep can traverse it again. One narrow cached
+    projection makes every derivation a cache scan. Callers must
+    ``unpersist()`` the returned frame (a no-op if it wasn't persisted
+    here) once their own cached frames are filled.
+
+    Skipped when the caller already persisted the input (bench harnesses
+    do): a second copy would only add cache-write cost."""
+    proj = edges.select(*cols)
+    lvl = edges.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return proj
+    proj = proj.persist()
+    proj.count()
+    return proj
 
 
 def vertices_from_sentences(sentences: DataFrame) -> DataFrame:
