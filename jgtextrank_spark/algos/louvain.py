@@ -190,24 +190,18 @@ def louvain_move_phase(
     def step(state: DataFrame, it: int) -> tuple[DataFrame, float]:
         r = it + round_offset
         pfx = f"{seed}:{r}:"
-        # community volumes RIDE the state rows (a V-sized window sum)
-        # instead of living in their own per-round aggregate+broadcast:
-        # every candidate row needs vol(c), and both row sources below —
-        # the mirror join (neighbour's community) and the zero-weight
-        # current-community row — already read a state row of community
-        # c, so attaching vol there removes the old scored-side vol join
-        # outright (in the broadcast regime: one broadcast build job per
-        # round; in the shuffle regime: one EDGE-sized exchange of the
-        # scored frame per round, guide §2.4). k sums are exact integers
-        # inside the documented < 2^53 scope, so the window's addition
-        # order cannot change the rounded vol the move rule compares.
-        wc = Window.partitionBy("community")
-        sv = state.select("vertex", "community", "k").withColumn(
-            "vol", F.sum("k").over(wc)
-        )
-        active = sv.filter(
+        # NOTE (measured, r6): riding the community volumes on the state
+        # rows via a V-sized window sum (removing this per-round vol
+        # aggregate+broadcast and the scored-side vol join) was tried and
+        # REVERTED — the window's per-round exchange+sort of the V-sized
+        # state plus the extra column through the edge-sized aggregation
+        # cost ~0.75s/round at the 200k-vertex bench, consistently MORE
+        # than the broadcast build + tiny join it saved (cold-session A/B
+        # 3x: move4 9.5-11.8s without vs 14.2-14.4s with).
+        vol = state.groupBy("community").agg(F.sum("k").alias("vol"))
+        active = state.filter(
             _gate(F.concat(F.lit(pfx), F.col("vertex")))
-        )
+        ).select("vertex", "community", "k")
 
         # Neighbour-community weights for ACTIVE vertices, with the
         # current community injected as a zero-weight candidate row
@@ -230,10 +224,9 @@ def louvain_move_phase(
             mirror.filter(_gate(F.concat(F.lit(pfx), F.col("a"))))
             .join(
                 _b(
-                    sv.select(
+                    state.select(
                         F.col("vertex").alias("b"),
                         F.col("community").alias("c"),
-                        F.col("vol").alias("cvol"),
                     )
                 ),
                 "b",
@@ -245,7 +238,6 @@ def louvain_move_phase(
                 F.lit(None).cast(state.schema["community"].dataType)
                 .alias("cm0"),
                 F.lit(None).cast("double").alias("k0"),
-                "cvol",
             )
             .unionByName(
                 active.select(
@@ -254,25 +246,21 @@ def louvain_move_phase(
                     F.lit(0.0).alias("w"),
                     F.col("community").alias("cm0"),
                     F.col("k").alias("k0"),
-                    F.col("vol").alias("cvol"),
                 )
             )
             .repartition(num_partitions, "vertex")
             .groupBy("vertex", "c")
-            # cvol is constant within a (vertex, c) group — every source
-            # row read it off a community-c state row — so max() is just
-            # the carry
             .agg(
                 F.sum("w").alias("kvc"),
                 F.max("cm0").alias("cm"),
                 F.max("k0").alias("kk"),
-                F.max("cvol").alias("vol"),
             )
         )
         wv = Window.partitionBy("vertex")
         scored = (
             cand.withColumn("community", F.max("cm").over(wv))
             .withColumn("k", F.max("kk").over(wv))
+            .join(_b(vol.select(F.col("community").alias("c"), "vol")), "c")
             .select(
                 "vertex",
                 "community",
